@@ -1,0 +1,243 @@
+"""Fixed-shape penalized B-spline fitting — the TPU replacement for FITPACK.
+
+The reference wraps `scipy.interpolate.splprep/splev` (utils/spline_fit.py:15,
+113-128): a smoothing spline with chord-length parameterization that finds the
+smoothest cubic spline whose sum of squared residuals is <= ``s``, choosing
+knots adaptively. Adaptive knot placement is data-dependent control flow that
+cannot live inside a jitted TPU program, so this module re-designs the fit:
+
+* fixed uniform (unclamped) cubic B-spline basis on t in [0, 1] with
+  ``n_intervals`` segments — shapes are static, basis evaluation is closed form;
+* penalized least squares ``(B^T W B + lam * Omega) c = B^T W y`` solved by
+  Cholesky; Omega is a 4th-order coefficient-difference penalty whose null
+  space is exactly the single-cubic curves, so ``lam -> inf`` reproduces
+  FITPACK's zero-interior-knot limit while ``lam -> 0`` approaches
+  interpolation;
+* ``lam`` found by a fixed-iteration log-space bisection so that the weighted
+  SSR matches the smoothing budget ``s`` — the same "smoothest within budget"
+  contract as FITPACK, expressed as a data-parallel program.
+
+Everything vmaps over batches of traces; the normal-equation build is a
+matmul (MXU) and the (C x C) Cholesky solves are tiny and batched.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# number of uniform B-spline intervals on [0, 1]; C = N_INTERVALS + 3 coefs
+N_INTERVALS = 48
+N_COEF = N_INTERVALS + 3
+
+_LOG_LAM_LO = -7.0
+_LOG_LAM_HI = 3.5
+_BISECT_ITERS = 20
+
+
+def _difference_penalty(order: int) -> np.ndarray:
+    d = np.eye(N_COEF)
+    for _ in range(order):
+        d = np.diff(d, axis=0)
+    return d.T @ d
+
+
+# Omega: 4th-difference penalty (null space = single cubic) with small lower
+# order terms so that degenerate inputs (< 4 distinct points) fall back to
+# quadratic / linear / constant fits instead of a singular system — mirroring
+# the reference's k = clip(n - 1, 1, 3) degree reduction (spline_fit.py:113).
+_OMEGA = (
+    _difference_penalty(4)
+    + 1e-4 * _difference_penalty(2)
+    + 1e-7 * _difference_penalty(1)
+    + 1e-9 * np.eye(N_COEF)
+)
+
+
+class SplineFit(NamedTuple):
+    """Fitted spline: coefficients + chord-length span + validity flag."""
+
+    coef: Array  # (N_COEF, 2)
+    u_max: Array  # () total chord length of the input trace
+    ok: Array  # () bool: False mirrors the reference's splprep ValueError
+
+
+def bspline_basis(t: Array, der: int = 0) -> Array:
+    """Uniform cubic B-spline basis matrix at normalized positions t in [0,1].
+
+    Returns (..., N_COEF). Closed-form blending polynomials of the uniform
+    cubic B-spline; derivative orders 0..2 supported (w.r.t. the *unnormalized*
+    chord parameter handled by caller scaling).
+    """
+    x = jnp.clip(t, 0.0, 1.0) * N_INTERVALS
+    j = jnp.clip(jnp.floor(x), 0, N_INTERVALS - 1)
+    u = x - j
+
+    if der == 0:
+        b0 = (1 - u) ** 3 / 6.0
+        b1 = (3 * u**3 - 6 * u**2 + 4) / 6.0
+        b2 = (-3 * u**3 + 3 * u**2 + 3 * u + 1) / 6.0
+        b3 = u**3 / 6.0
+    elif der == 1:
+        scale = N_INTERVALS
+        b0 = -((1 - u) ** 2) / 2.0 * scale
+        b1 = (9 * u**2 - 12 * u) / 6.0 * scale
+        b2 = (-9 * u**2 + 6 * u + 3) / 6.0 * scale
+        b3 = u**2 / 2.0 * scale
+    elif der == 2:
+        scale = N_INTERVALS**2
+        b0 = (1 - u) * scale
+        b1 = (3 * u - 2) * scale
+        b2 = (-3 * u + 1) * scale
+        b3 = u * scale
+    else:
+        raise ValueError(f"derivative order {der} not supported")
+
+    vals = jnp.stack([b0, b1, b2, b3], axis=-1)  # (..., 4)
+    cols = j[..., None] + jnp.arange(4)  # (..., 4)
+    coef_ids = jnp.arange(N_COEF)  # (C,)
+    onehot = coef_ids == cols[..., None]  # (..., 4, C)
+    return jnp.sum(vals[..., None] * onehot, axis=-2)  # (..., C)
+
+
+def chord_lengths(points: Array, mask: Array) -> tuple[Array, Array, Array]:
+    """Cumulative chord parameter of a masked trace.
+
+    Returns (u, u_max, ok) where u[i] is the chord position of point i
+    (invalid slots repeat u_max), matching the reference's
+    ``u = [0, cumsum(dists)]`` (spline_fit.py:113-115). ``ok`` is False when
+    two consecutive valid points coincide — the case where splprep raises and
+    the reference falls back to the previous path.
+    """
+    p = points.shape[0]
+    seg_valid = mask[1:] & mask[:-1]
+    d = jnp.sqrt(jnp.maximum(jnp.sum(jnp.diff(points, axis=0) ** 2, axis=-1), 0.0))
+    d = jnp.where(seg_valid, d, 0.0)
+    u = jnp.concatenate([jnp.zeros((1,), points.dtype), jnp.cumsum(d)])
+    u_max = u[-1] if p > 1 else jnp.asarray(0.0, points.dtype)
+    u_max = jnp.max(jnp.where(mask, u, 0.0))
+    n_valid = jnp.sum(mask)
+    ok = (jnp.sum(seg_valid & (d <= 1e-9)) == 0) & (n_valid >= 2) & (u_max > 1e-9)
+    return u, u_max, ok
+
+
+def _fit_single_cubic(t: Array, points: Array, w: Array, n_valid: Array) -> Array:
+    """Exact FITPACK zero-interior-knot limit: LSQ fit of one cubic curve,
+    returned as B-spline coefficients via the cubic-exact quasi-interpolant
+    c_i = p(xi_i) - h^2/6 p''(xi_i) at the Greville abscissae.
+
+    The polynomial degree is capped at n_valid - 1 (clipped to [1, 3]) —
+    FITPACK's k = clip(n - 1, 1, 3) degree reduction (spline_fit.py:113)."""
+    degree = jnp.clip(n_valid - 1, 1, 3)
+    col_ok = (jnp.arange(4) <= degree).astype(points.dtype)
+    # powers design matrix, 4 columns, well conditioned since t in [0, 1]
+    powers = jnp.stack([jnp.ones_like(t), t, t * t, t * t * t], axis=-1) * w[:, None]
+    powers = powers * col_ok
+    g = jnp.matmul(powers.T, powers, precision=jax.lax.Precision.HIGHEST)
+    rhs = jnp.matmul(powers.T, points * w[:, None], precision=jax.lax.Precision.HIGHEST)
+    g = g + 1e-7 * jnp.trace(g) / 4.0 * jnp.eye(4, dtype=points.dtype)
+    a = jnp.linalg.solve(g, rhs)  # (4, 2)
+
+    xi = (jnp.arange(N_COEF, dtype=points.dtype) - 1.0) / N_INTERVALS
+    h2_6 = (1.0 / N_INTERVALS) ** 2 / 6.0
+    p_xi = jnp.stack([jnp.ones_like(xi), xi, xi * xi, xi * xi * xi], axis=-1) @ a
+    ppp_xi = jnp.stack(
+        [jnp.zeros_like(xi), jnp.zeros_like(xi), 2.0 * jnp.ones_like(xi), 6.0 * xi],
+        axis=-1,
+    ) @ a
+    return p_xi - h2_6 * ppp_xi
+
+
+def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFit:
+    """Fit a smoothing spline to a masked 2-D trace.
+
+    Args:
+        points: (P, 2) trace, padded.
+        mask: (P,) validity.
+        smoothing: FITPACK-style SSR budget ``s`` (0 = interpolate).
+    """
+    w = mask.astype(points.dtype)
+    u, u_max, ok = chord_lengths(points, mask)
+    t = u / jnp.maximum(u_max, 1e-9)
+
+    basis = bspline_basis(t) * w[:, None]  # zero rows for padding
+    y = points * w[:, None]
+
+    # normal equations (MXU matmuls)
+    gram = jnp.matmul(basis.T, basis, precision=jax.lax.Precision.HIGHEST)
+    rhs = jnp.matmul(basis.T, y, precision=jax.lax.Precision.HIGHEST)
+    omega = jnp.asarray(_OMEGA, points.dtype)
+
+    # scale lambda by the gram trace so bisection bounds are data-independent
+    scale = jnp.trace(gram) / N_COEF + 1e-12
+
+    def solve(log_lam: Array) -> Array:
+        lam = 10.0**log_lam * scale
+        a = gram + lam * omega
+        chol = jnp.linalg.cholesky(a)
+        c = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        return c
+
+    def ssr_of(c: Array) -> Array:
+        resid = (jnp.matmul(bspline_basis(t), c) - points) * w[:, None]
+        return jnp.sum(resid * resid)
+
+    s_budget = jnp.asarray(smoothing, points.dtype)
+
+    def bisect_body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        ssr = ssr_of(solve(mid))
+        # ssr increases with lambda; keep ssr <= s on the lo side
+        lo = jnp.where(ssr <= s_budget, mid, lo)
+        hi = jnp.where(ssr <= s_budget, hi, mid)
+        return lo, hi
+
+    lo0 = jnp.asarray(_LOG_LAM_LO, points.dtype)
+    hi0 = jnp.asarray(_LOG_LAM_HI, points.dtype)
+
+    # FITPACK's "no interior knots needed" case: when a single cubic satisfies
+    # the budget, use it exactly (also sidesteps large-lambda conditioning)
+    c_cubic = _fit_single_cubic(t, points, w, jnp.sum(mask))
+    cubic_ok = ssr_of(c_cubic) <= s_budget
+
+    lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, bisect_body, (lo0, hi0))
+    c_bisect = solve(lo)
+
+    c_final = jnp.where(cubic_ok, c_cubic, c_bisect)
+    c_final = jnp.where(jnp.isfinite(c_final), c_final, 0.0)
+    return SplineFit(coef=c_final, u_max=u_max, ok=ok)
+
+
+def eval_spline(fit: SplineFit, u: Array, der: int = 0) -> Array:
+    """Evaluate the spline at chord positions ``u`` (clamped to [0, u_max])."""
+    t = u / jnp.maximum(fit.u_max, 1e-9)
+    basis = bspline_basis(t, der=der)
+    vals = jnp.matmul(basis, fit.coef, precision=jax.lax.Precision.HIGHEST)
+    if der > 0:
+        # chain rule: d/du = (1/u_max) d/dt per derivative order
+        vals = vals / jnp.maximum(fit.u_max, 1e-9) ** der
+    return vals
+
+
+def eval_spline_every(
+    fit: SplineFit, predict_every: float | Array, n_samples: int, der: int = 0,
+    max_u: Array | None = None,
+) -> tuple[Array, Array, Array]:
+    """Evaluate on the reference's ``arange(0, max_u, predict_every)`` grid
+    (spline_fit.py:30-63) with a fixed sample budget.
+
+    Returns (values (n_samples, 2), u_grid (n_samples,), valid (n_samples,)).
+    Samples beyond max_u are clamped to the end point and masked out.
+    """
+    limit = fit.u_max if max_u is None else max_u
+    u_grid = jnp.arange(n_samples, dtype=fit.coef.dtype) * predict_every
+    valid = u_grid < limit
+    vals = eval_spline(fit, jnp.minimum(u_grid, fit.u_max), der=der)
+    return vals, u_grid, valid
