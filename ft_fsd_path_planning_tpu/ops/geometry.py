@@ -251,7 +251,12 @@ def stable_compact(mask: Array, length: int | None = None) -> tuple[Array, Array
     length = n if length is None else length
     iota = jnp.arange(n)
     key = jnp.where(mask, iota, n + iota)  # stable: invalid pushed back, order kept
-    order = jnp.argsort(key, axis=-1)[..., :length]
+    order = jnp.argsort(key, axis=-1)
+    if length <= n:
+        order = order[..., :length]
+    else:
+        pad = jnp.zeros(order.shape[:-1] + (length - n,), order.dtype)
+        order = jnp.concatenate([order, pad], axis=-1)
     count = jnp.sum(mask, axis=-1)
     valid = jnp.arange(length) < count[..., None] if mask.ndim > 1 else jnp.arange(length) < count
     return order, valid
