@@ -1,0 +1,672 @@
+"""Cone sorting — fixed-width beam search over masked cone adjacency.
+
+TPU-native re-design of the reference trace sorter
+(`sorting_cones/trace_sorter/*`): the exhaustive iterative-stack DFS
+(`end_configurations.py:320-431`) becomes a K-wide beam search — L-1 steps,
+each scoring all (K, N) candidate extensions with the reference's pruning
+gates expressed as boolean masks, ranking the surviving children with an
+incrementally-maintained partial cost, and keeping the best K. Finished
+branches (no valid extension) stay in the pool as leaf candidates, exactly
+like the DFS's end-configurations. The final winner is chosen by the full
+7-term cost (`sorting_cost.py`).
+
+Hash-memoized adjacency (adjacency_matrix.py:21-57) and result caches are
+dropped: recomputation is the TPU idiom — one batched matmul beats a cache.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ft_fsd_path_planning_tpu.config import PlannerConfig, SortingConfig
+from ft_fsd_path_planning_tpu.models import sorting_cost
+from ft_fsd_path_planning_tpu.ops import geometry as geo
+from ft_fsd_path_planning_tpu.utils.cone_types import ConeTypes
+
+Array = jax.Array
+
+_INF = jnp.inf
+
+
+def _invert(cone_type: int) -> int:
+    return ConeTypes.RIGHT if cone_type == ConeTypes.LEFT else ConeTypes.LEFT
+
+
+# ---------------------------------------------------------------------------
+# start-cone selection (core_trace_sorter.py:344-465)
+# ---------------------------------------------------------------------------
+
+
+def select_starting_cones(
+    cfg: SortingConfig,
+    points: Array,
+    mask: Array,
+    cone_type: int,
+    car_position: Array,
+    car_direction: Array,
+) -> tuple[Array, Array]:
+    """Select up to two starting cones: closest valid in front and the cone
+    behind, ordered behind->front. Returns (prefix (2,) int32, n_first ())."""
+    xy = points[:, :2]
+    color = points[:, 2]
+
+    rel = geo.rotate(xy - car_position, -geo.angle_from_2d_vector(car_direction))
+    rel_angle = geo.angle_from_2d_vector(rel)
+    dist = jnp.linalg.norm(rel, axis=-1)
+
+    in_ellipse = geo.points_inside_ellipse(
+        xy, car_position, car_direction,
+        cfg.max_dist_to_first * 1.5, cfg.max_dist_to_first / 1.5,
+    )
+    valid_sign = 1.0 if cone_type == ConeTypes.LEFT else -1.0
+    sign_ok = jnp.sign(rel_angle) == valid_sign
+    angle_ok = (jnp.abs(rel_angle) < jnp.pi - jnp.pi / 5) & (
+        jnp.abs(rel_angle) > jnp.pi / 10
+    )
+    right_color = color == cone_type
+    side_ok = (sign_ok & angle_ok) | right_color
+    not_opposite = color != _invert(cone_type)
+    base = in_ellipse & side_ok & not_opposite & mask
+
+    d1 = jnp.where(base, dist, _INF)
+    i1 = jnp.argmin(d1)
+    ok1 = d1[i1] <= cfg.max_dist_to_first
+
+    # second cone: behind the car, not the first (core_trace_sorter.py:409-445)
+    angle_to_car = geo.vec_angle_between(xy - car_position, car_direction)
+    skip = (jnp.abs(angle_to_car) < jnp.pi / 2) | (jnp.arange(xy.shape[0]) == i1)
+    d2 = jnp.where(base & ~skip, dist, _INF)
+    i2 = jnp.argmin(d2)
+    ok2 = d2[i2] <= cfg.max_dist_to_first
+
+    cone_dir_1 = xy[i1] - xy[i2]
+    a1 = geo.vec_angle_between(cone_dir_1, car_direction)
+    a2 = geo.vec_angle_between(-cone_dir_1, car_direction)
+    swap = a1 > a2
+    j1 = jnp.where(swap, i2, i1)
+    j2 = jnp.where(swap, i1, i2)
+
+    dd = jnp.linalg.norm(cone_dir_1)
+    pair_ok = ok2 & (dd <= cfg.max_dist * 1.1) & (dd >= 1.4)
+
+    single = jnp.where(ok2, j1, i1)  # post-swap index_1 when a pair was found
+    prefix = jnp.where(
+        pair_ok,
+        jnp.stack([j2, j1]),
+        jnp.stack([single, jnp.asarray(-1)]),
+    ).astype(jnp.int32)
+    n_first = jnp.where(~ok1, 0, jnp.where(pair_ok, 2, 1)).astype(jnp.int32)
+    return prefix, n_first
+
+
+# ---------------------------------------------------------------------------
+# adjacency (adjacency_matrix.py:60-128) + reachability (common.py:37-67)
+# ---------------------------------------------------------------------------
+
+
+def build_adjacency(
+    cfg: SortingConfig,
+    points: Array,
+    mask: Array,
+    cone_type: int,
+    start_idx: Array,
+) -> tuple[Array, Array]:
+    """Masked k-NN adjacency, symmetrized; returns (adj (N,N) bool,
+    target_length ())."""
+    n = points.shape[0]
+    xy = points[:, :2]
+    color = points[:, 2]
+
+    d2 = geo.cdist_sq(xy, xy)
+    opposite = color == _invert(cone_type)
+    bad = (
+        opposite[:, None]
+        | opposite[None, :]
+        | ~mask[:, None]
+        | ~mask[None, :]
+        | jnp.eye(n, dtype=bool)
+    )
+    d2 = jnp.where(bad, _INF, d2)
+
+    _, knn = jax.lax.top_k(-d2, cfg.max_n_neighbors)
+    adj = jnp.zeros((n, n), bool)
+    rows = jnp.arange(n)[:, None]
+    adj = adj.at[rows, knn].set(True)
+    adj = adj & (d2 <= cfg.max_dist**2)
+    adj = adj & adj.T
+
+    # reachable set: <= max_length synchronous propagation rounds suffice to
+    # know min(reachable, max_length) exactly
+    reach = jnp.arange(n) == start_idx
+    for _ in range(cfg.max_length):
+        reach = reach | jnp.any(adj & reach[None, :], axis=-1)
+    target_length = jnp.minimum(jnp.sum(reach), cfg.max_length)
+    return adj, target_length
+
+
+# ---------------------------------------------------------------------------
+# beam search (replaces end_configurations.py DFS)
+# ---------------------------------------------------------------------------
+
+
+class _BeamState(NamedTuple):
+    configs: Array  # (K, L) int32
+    lengths: Array  # (K,)
+    alive: Array  # (K,) slot holds a config
+    done: Array  # (K,) leaf (no valid extension)
+    # incremental partial-cost carries
+    angle_sum: Array  # (K,) sum of (pi - theta)/pi interior angle costs
+    n_under: Array  # (K,) interior angles under 40 deg
+    residual: Array  # (K,) sum residual distances
+    init_cost: Array  # (K,) initial-direction cost
+    wrong_sum: Array  # (K,) signed wrong-direction accumulator
+
+
+def _partial_score(cfg: SortingConfig, st: _BeamState) -> Array:
+    """Ranking heuristic: the reference cost minus the cones-on-side term,
+    computable incrementally (weights cost_function.py:283-284)."""
+    n_interior = jnp.maximum(st.lengths - 2, 1)
+    angle = st.angle_sum / n_interior * (st.n_under + 1)
+    w = sorting_cost._WEIGHTS
+    return (
+        w[0] * angle
+        + w[1] * st.residual
+        + w[2] / jnp.maximum(st.lengths, 1)
+        + w[3] * st.init_cost
+        + w[6] * jnp.abs(st.wrong_sum) * (st.lengths >= 4)
+    )
+
+
+def _extension_gates(
+    cfg: SortingConfig,
+    xy: Array,
+    adj: Array,
+    st: _BeamState,
+    cone_type: int,
+    car_position: Array,
+    car_direction: Array,
+    target_length: Array,
+) -> tuple[Array, Array, Array, Array]:
+    """All DFS pruning gates as a (K, N) mask
+    (end_configurations.py:109-223). Also returns per-child increments
+    (theta, seg_len, angle_diff) reused by the scoring update."""
+    k, l = st.configs.shape
+    n = xy.shape[0]
+
+    last_idx = jnp.take_along_axis(
+        st.configs, jnp.maximum(st.lengths - 1, 0)[:, None], axis=1
+    )[:, 0]
+    prev_idx = jnp.take_along_axis(
+        st.configs, jnp.maximum(st.lengths - 2, 0)[:, None], axis=1
+    )[:, 0]
+    prev2_idx = jnp.take_along_axis(
+        st.configs, jnp.maximum(st.lengths - 3, 0)[:, None], axis=1
+    )[:, 0]
+    first_idx = st.configs[:, 0]
+
+    last = xy[jnp.clip(last_idx, 0, n - 1)]  # (K, 2)
+    prev = xy[jnp.clip(prev_idx, 0, n - 1)]
+    prev2 = xy[jnp.clip(prev2_idx, 0, n - 1)]
+    first = xy[jnp.clip(first_idx, 0, n - 1)]
+    p = st.lengths - 1  # position_in_stack of the last element
+
+    cand = xy[None, :, :]  # (1, N, 2)
+
+    # 1. adjacency + not already in config
+    can = adj[jnp.clip(last_idx, 0, n - 1)]  # (K, N)
+    in_config = jnp.any(
+        st.configs[:, :, None] == jnp.arange(n)[None, None, :], axis=1
+    )
+    can = can & ~in_config
+
+    # 2. ellipse gate, p >= 1 (:282-300)
+    major_dir = last - prev  # (K, 2)
+    ellipse = geo.points_inside_ellipse(
+        cand, last[:, None, :], major_dir, cfg.ellipse_major, cfg.ellipse_minor
+    )
+    can = can & jnp.where((p >= 1)[:, None], ellipse, True)
+
+    # 3. second cone on correct vehicle side, p == 0 (:260-278)
+    car_to_cand = cand - car_position  # (1, N, 2)
+    ang_car = geo.angle_from_2d_vector(car_direction)
+    ang_to_cand = geo.angle_from_2d_vector(car_to_cand)
+    dsign = geo.angle_difference(ang_to_cand, ang_car)  # (1, N)
+    expected = 1.0 if cone_type == ConeTypes.LEFT else -1.0
+    side_gate = (jnp.sign(dsign) == expected) | (jnp.abs(dsign) < jnp.deg2rad(5.0))
+    can = can & jnp.where((p == 0)[:, None], side_gate, True)
+
+    # 4. no cone skipped between last and candidate (:227-257): any *other*
+    # neighbor m of `last` with both distances < 6 and angle at m > 150 deg
+    neighbors = adj[jnp.clip(last_idx, 0, n - 1)]  # (K, N) m-mask
+    m_to_last = last[:, None, :] - xy[None, :, :]  # (K, M, 2)
+    # build (K, N_cand, M): vec m->cand = xy[cand] - xy[m]
+    v_mc = xy[None, :, None, :] - xy[None, None, :, :]  # (1, Ncand, M, 2)
+    d_mc = jnp.linalg.norm(v_mc, axis=-1)  # (1, Ncand, M)
+    d_ml = jnp.linalg.norm(m_to_last, axis=-1)  # (K, M)
+    ang_at_m = geo.vec_angle_between(m_to_last[:, None, :, :], v_mc)  # (K, Ncand, M)
+    not_self = jnp.arange(n)[None, :, None] != jnp.arange(n)[None, None, :]
+    blocker = (
+        neighbors[:, None, :]
+        & not_self
+        & (d_mc < cfg.between_dist)
+        & (d_ml[:, None, :] < cfg.between_dist)
+        & (ang_at_m > cfg.between_angle)
+    )
+    can = can & ~jnp.any(blocker, axis=-1)
+
+    # 5. direction-change thresholds, p >= 1 (:172-191)
+    seg_prev = last - prev  # (K, 2)
+    seg_new = cand - last[:, None, :]  # (K, N, 2)
+    ang1 = jnp.arctan2(seg_prev[:, 1], seg_prev[:, 0])[:, None]  # (K, 1)
+    ang2 = jnp.arctan2(seg_new[..., 1], seg_new[..., 0])  # (K, N)
+    diff = geo.angle_difference(ang2, ang1)  # (K, N)
+    seg_len = jnp.linalg.norm(seg_new, axis=-1)
+    abs_ok = jnp.abs(diff) <= cfg.threshold_absolute_angle
+    if cone_type == ConeTypes.LEFT:
+        directional = (diff < cfg.threshold_directional_angle) | (
+            seg_len < cfg.close_cone_dist
+        )
+    else:
+        directional = (diff > -cfg.threshold_directional_angle) | (
+            seg_len < cfg.close_cone_dist
+        )
+    can = can & jnp.where((p >= 1)[:, None], abs_ok & directional, True)
+
+    # 6. flip-kill, p >= 2 (:194-205)
+    seg_pp = prev - prev2
+    ang3 = jnp.arctan2(seg_pp[:, 1], seg_pp[:, 0])[:, None]
+    diff2 = geo.angle_difference(ang1, ang3)  # (K, 1)
+    flip = (jnp.sign(diff) != jnp.sign(diff2)) & (jnp.abs(diff - diff2) > 1.3)
+    can = can & jnp.where((p >= 2)[:, None], ~flip, True)
+
+    # 7. direction offset from start, p == 1 (:207-211)
+    off = geo.vec_angle_between(car_direction, cand - first[:, None, :])
+    can = can & jnp.where((p == 1)[:, None], off < jnp.pi / 2, True)
+
+    # 8. no car-body crossing (:213-221)
+    dnorm = car_direction / jnp.linalg.norm(car_direction)
+    car_start = car_position - dnorm * cfg.car_size / 2
+    car_end = car_position + dnorm * cfg.car_size
+    crosses = geo.segments_intersect(
+        last[:, None, :], cand, car_start[None, None, :], car_end[None, None, :]
+    )
+    can = can & ~crosses
+
+    # interior-angle increment for the scoring update: angle at `last`
+    theta = geo.vec_angle_between(prev[:, None, :] - last[:, None, :], seg_new)
+    return can, theta, seg_len, diff
+
+
+def _beam_search_side(
+    cfg: SortingConfig,
+    beam_width: int,
+    points: Array,
+    mask: Array,
+    cone_type: int,
+    prefix: Array,
+    n_first: Array,
+    car_position: Array,
+    car_direction: Array,
+    adj: Array,
+    target_length: Array,
+) -> tuple[Array, Array]:
+    """Run the beam search; returns (configs (K, L), pool_valid (K,))."""
+    n = points.shape[0]
+    k = beam_width
+    l = cfg.max_length
+    xy = points[:, :2]
+
+    configs0 = jnp.full((k, l), -1, jnp.int32)
+    configs0 = configs0.at[0, 0].set(prefix[0])
+    configs0 = configs0.at[0, 1].set(jnp.where(n_first >= 2, prefix[1], -1))
+
+    init_cost0 = jnp.where(
+        n_first >= 2,
+        geo.vec_angle_between(
+            xy[jnp.clip(prefix[1], 0, n - 1)] - xy[jnp.clip(prefix[0], 0, n - 1)],
+            car_direction,
+        ),
+        0.0,
+    )
+
+    st = _BeamState(
+        configs=configs0,
+        lengths=jnp.where(jnp.arange(k) == 0, n_first, 0).astype(jnp.int32),
+        alive=(jnp.arange(k) == 0) & (n_first >= 1),
+        done=jnp.zeros(k, bool),
+        angle_sum=jnp.zeros(k),
+        n_under=jnp.zeros(k, jnp.int32),
+        residual=jnp.zeros(k),
+        init_cost=jnp.where(jnp.arange(k) == 0, init_cost0, 0.0),
+        wrong_sum=jnp.zeros(k),
+    )
+
+    def step(_, st: _BeamState) -> _BeamState:
+        can, theta, seg_len, diff = _extension_gates(
+            cfg, xy, adj, st, cone_type, car_position, car_direction, target_length
+        )
+        expandable = st.alive & ~st.done & (st.lengths < target_length)
+        can = can & expandable[:, None]
+
+        # children carries
+        p = st.lengths - 1
+        add_interior = (p >= 1)[:, None]
+        c_angle_sum = st.angle_sum[:, None] + jnp.where(
+            add_interior, (jnp.pi - theta) / jnp.pi, 0.0
+        )
+        c_n_under = st.n_under[:, None] + (
+            add_interior & (theta < jnp.deg2rad(40.0))
+        ).astype(jnp.int32)
+        c_residual = st.residual[:, None] + jnp.maximum(0.0, seg_len - 3.0)
+        first = xy[jnp.clip(st.configs[:, 0], 0, n - 1)]
+        c_init = jnp.where(
+            (p == 0)[:, None],
+            geo.vec_angle_between(xy[None, :, :] - first[:, None, :], car_direction),
+            st.init_cost[:, None],
+        )
+        unwanted = 1.0 if cone_type == ConeTypes.LEFT else -1.0
+        wrong_inc = jnp.where(
+            (jnp.sign(diff) == unwanted) & (jnp.abs(diff) > jnp.deg2rad(40.0)), diff, 0.0
+        )
+        c_wrong = st.wrong_sum[:, None] + jnp.where(add_interior, wrong_inc, 0.0)
+
+        c_len = st.lengths[:, None] + 1
+        n_interior_c = jnp.maximum(c_len - 2, 1)
+        w = sorting_cost._WEIGHTS
+        c_score = (
+            w[0] * c_angle_sum / n_interior_c * (c_n_under + 1)
+            + w[1] * c_residual
+            + w[2] / jnp.maximum(c_len, 1)
+            + w[3] * c_init
+            + w[6] * jnp.abs(c_wrong) * (c_len >= 4)
+        )
+        c_score = jnp.where(can, c_score, _INF)
+
+        # parents that could not expand become leaves
+        newly_done = expandable & ~jnp.any(can, axis=1)
+        done = st.done | newly_done
+        frozen = st.alive & (done | ~expandable)
+        parent_score = jnp.where(frozen, _partial_score(cfg, st), _INF)
+
+        # pool: K frozen parents + K*N children -> best K
+        pool_scores = jnp.concatenate([parent_score, c_score.reshape(-1)])
+        _, sel = jax.lax.top_k(-pool_scores, k)
+        is_parent = sel < k
+        parent_of = jnp.where(is_parent, sel, (sel - k) // n)
+        child_cone = jnp.where(is_parent, 0, (sel - k) % n).astype(jnp.int32)
+        sel_valid = jnp.isfinite(pool_scores[sel])
+
+        g = lambda arr: arr[parent_of]
+        new_configs = g(st.configs)
+        write_pos = jnp.clip(g(st.lengths), 0, l - 1)
+        appended = jnp.where(
+            (jnp.arange(l)[None, :] == write_pos[:, None]) & ~is_parent[:, None],
+            child_cone[:, None],
+            new_configs,
+        )
+        ext = ~is_parent & sel_valid
+        pick = lambda child_val, parent_val: jnp.where(ext, child_val, parent_val)
+
+        return _BeamState(
+            configs=jnp.where(sel_valid[:, None], appended, -1),
+            lengths=jnp.where(sel_valid, g(st.lengths) + ext, 0).astype(jnp.int32),
+            alive=sel_valid,
+            done=jnp.where(ext, False, g(done)) & sel_valid,
+            angle_sum=pick(c_angle_sum[parent_of, child_cone], g(st.angle_sum)),
+            n_under=pick(c_n_under[parent_of, child_cone], g(st.n_under)),
+            residual=pick(c_residual[parent_of, child_cone], g(st.residual)),
+            init_cost=pick(c_init[parent_of, child_cone], g(st.init_cost)),
+            wrong_sum=pick(c_wrong[parent_of, child_cone], g(st.wrong_sum)),
+        )
+
+    st = jax.lax.fori_loop(0, l - 1, step, st)
+    return st.configs, st.alive
+
+
+def _postfilter_pool(
+    points: Array, configs: Array, valid: Array, cone_type: int
+) -> tuple[Array, Array]:
+    """End-configuration post-processing (end_configurations.py:484-518):
+    >= 3 cones, strip trailing wrong-color cone, drop strict prefixes of
+    other pool configs."""
+    k, l = configs.shape
+    lengths = jnp.sum(configs != -1, axis=1)
+    valid = valid & (lengths >= 3)
+
+    last_pos = jnp.maximum(lengths - 1, 0)
+    last_cone = jnp.take_along_axis(configs, last_pos[:, None], axis=1)[:, 0]
+    last_color = points[jnp.clip(last_cone, 0, points.shape[0] - 1), 2]
+    strip = (last_color != cone_type) & valid
+    configs = jnp.where(
+        strip[:, None] & (jnp.arange(l)[None, :] == last_pos[:, None]), -1, configs
+    )
+    lengths = lengths - strip.astype(lengths.dtype)
+    valid = valid & (lengths >= 3)
+    configs = jnp.where(valid[:, None], configs, -1)
+
+    # exact duplicates: keep first occurrence
+    same = jnp.all(configs[:, None, :] == configs[None, :, :], axis=-1)
+    same = same & valid[:, None] & valid[None, :]
+    earlier = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]
+    dup = jnp.any(same & earlier, axis=0)
+    valid = valid & ~dup
+
+    # strict-prefix removal: config j removed when some other config i
+    # matches j on all of j's non(-1) positions
+    eq = (configs[:, None, :] == configs[None, :, :]) | (configs[None, :, :] == -1)
+    prefix = jnp.all(eq, axis=-1) & valid[:, None] & valid[None, :]
+    not_self = ~jnp.eye(k, dtype=bool)
+    removed = jnp.any(prefix & not_self, axis=0)
+    valid = valid & ~removed
+    return jnp.where(valid[:, None], configs, -1), valid
+
+
+class SideResult(NamedTuple):
+    configs: Array  # (K, L) pool
+    valid: Array  # (K,)
+    costs: Array  # (K,)
+    best: Array  # (L,) best config (-1 padded)
+    has_result: Array  # ()
+
+
+def sort_one_side(
+    cfg: PlannerConfig,
+    points: Array,
+    mask: Array,
+    cone_type: int,
+    car_position: Array,
+    car_direction: Array,
+) -> SideResult:
+    """Reference calc_configurations_with_score_for_one_side
+    (core_trace_sorter.py:252-327) + calc_scores_and_end_configurations."""
+    s = cfg.sorting
+    k = s.beam_width
+    l = s.max_length
+    n = points.shape[0]
+
+    prefix, n_first = select_starting_cones(
+        s, points, mask, cone_type, car_position, car_direction
+    )
+    enough_cones = jnp.sum(mask) >= 3
+    startable = (n_first >= 1) & enough_cones
+
+    adj, target_length = build_adjacency(s, points, mask, cone_type, prefix[0])
+
+    configs, valid = _beam_search_side(
+        s, k, points, mask, cone_type, prefix, n_first,
+        car_position, car_direction, adj, target_length,
+    )
+    configs, valid = _postfilter_pool(points, configs, valid, cone_type)
+    valid = valid & startable
+
+    costs = sorting_cost.cost_configurations(
+        points, mask, configs, valid, cone_type, car_position, car_direction, s
+    )
+    best_idx = jnp.argmin(costs)
+    has_result = jnp.any(valid) & startable
+    best = jnp.where(has_result, configs[best_idx], -1)
+    return SideResult(
+        configs=configs, valid=valid, costs=costs, best=best, has_result=has_result
+    )
+
+
+# ---------------------------------------------------------------------------
+# left/right combination (combine_traces.py:21-275)
+# ---------------------------------------------------------------------------
+
+
+def _angle_change_at(points_xy: Array, config: Array, pos: Array) -> Array:
+    """calc_angle_change_at_position (combine_traces.py:260-275)."""
+    n = points_xy.shape[0]
+    l = config.shape[0]
+    take = lambda i: points_xy[jnp.clip(config[jnp.clip(i, 0, l - 1)], 0, n - 1)]
+    prev_c, inter, next_c = take(pos - 1), take(pos), take(pos + 1)
+    a_next = geo.angle_from_2d_vector(next_c - inter)
+    a_prev = geo.angle_from_2d_vector(prev_c - inter)
+    return geo.angle_difference(a_next, a_prev)
+
+
+def combine_traces(
+    points: Array,
+    left: SideResult,
+    right: SideResult,
+    car_position: Array,
+    car_direction: Array,
+) -> tuple[Array, Array]:
+    """Pick the best config per side and resolve cones claimed by both
+    (calc_final_configs_for_left_and_right). Returns (left (L,), right (L,))
+    -1-padded index configs."""
+    xy = points[:, :2]
+    l = left.best.shape[0]
+
+    left_cfg = jnp.where(left.has_result, left.best, -1)
+    right_cfg = jnp.where(right.has_result, right.best, -1)
+    len_l = jnp.sum(left_cfg != -1)
+    len_r = jnp.sum(right_cfg != -1)
+
+    # first common cone positions
+    common = (
+        (left_cfg[:, None] == right_cfg[None, :])
+        & (left_cfg[:, None] != -1)
+        & (right_cfg[None, :] != -1)
+    )
+    l_in_r = jnp.any(common, axis=1)
+    r_in_l = jnp.any(common, axis=0)
+    has_common = jnp.any(common)
+    big = l + 1
+    li = jnp.min(jnp.where(l_in_r, jnp.arange(l), big))
+    ri = jnp.min(jnp.where(r_in_l, jnp.arange(l), big))
+
+    # --- the arbitration decision table (combine_traces.py:150-257)
+    inter_cone = left_cfg[jnp.clip(li, 0, l - 1)]
+    prev_left = left_cfg[jnp.clip(li - 1, 0, l - 1)]
+    prev_right = right_cfg[jnp.clip(ri - 1, 0, l - 1)]
+    n = xy.shape[0]
+    cxy = lambda i: xy[jnp.clip(i, 0, n - 1)]
+    d_left = jnp.linalg.norm(cxy(inter_cone) - cxy(prev_left))
+    d_right = jnp.linalg.norm(cxy(inter_cone) - cxy(prev_right))
+
+    both_pos = (li > 0) & (ri > 0)
+    ll = d_left < 3.0
+    rl = d_right < 3.0
+    rule1 = both_pos & (ll ^ rl)
+    r1_left_stop = jnp.where(ll, len_l, li)
+    r1_right_stop = jnp.where(ll, ri, len_r)
+
+    # middle-intersection rule
+    same_cone = left_cfg[jnp.clip(li, 0, l - 1)] == right_cfg[jnp.clip(ri, 0, l - 1)]
+    li_mid = (li >= 1) & (li <= len_l - 2)
+    ri_mid = (ri >= 1) & (ri <= len_r - 2)
+    rule2 = ~rule1 & same_cone & li_mid & ri_mid
+
+    angle_left = _angle_change_at(xy, left_cfg, li)
+    angle_right = _angle_change_at(xy, right_cfg, ri)
+    sign_same = jnp.sign(angle_left) == jnp.sign(angle_right)
+    n_cones_diff = jnp.abs(len_l - len_r)
+    abs_angle_diff = jnp.abs(jnp.abs(angle_left) - jnp.abs(angle_right))
+
+    prefer_left = jnp.where(
+        sign_same,
+        jnp.sign(angle_left) == 1,
+        jnp.where(
+            n_cones_diff > 2,
+            len_l > len_r,
+            jnp.abs(angle_left) > jnp.abs(angle_right),
+        ),
+    )
+    r2_truncate_both = ~sign_same & ~(n_cones_diff > 2) & ~(
+        abs_angle_diff > jnp.deg2rad(5.0)
+    )
+    r2_left_stop = jnp.where(r2_truncate_both, li, jnp.where(prefer_left, len_l, li))
+    r2_right_stop = jnp.where(r2_truncate_both, ri, jnp.where(prefer_left, ri, len_r))
+
+    # end-intersection rule
+    rule3 = ~rule1 & ~rule2
+    l_end = li == len_l - 1
+    r_end = ri == len_r - 1
+    r3_left_stop = jnp.where(
+        l_end & r_end, len_l - 1, jnp.where(l_end, li, jnp.where(r_end, len_l, li))
+    )
+    r3_right_stop = jnp.where(
+        l_end & r_end, len_r - 1, jnp.where(l_end, len_r, jnp.where(r_end, ri, ri))
+    )
+
+    left_stop = jnp.where(rule1, r1_left_stop, jnp.where(rule2, r2_left_stop, r3_left_stop))
+    right_stop = jnp.where(rule1, r1_right_stop, jnp.where(rule2, r2_right_stop, r3_right_stop))
+
+    left_stop = jnp.where(has_common, left_stop, len_l)
+    right_stop = jnp.where(has_common, right_stop, len_r)
+
+    iota = jnp.arange(l)
+    left_out = jnp.where(iota < left_stop, left_cfg, -1)
+    right_out = jnp.where(iota < right_stop, right_cfg, -1)
+
+    # one-sided / zero-sided cases (combine_traces.py:44-52, 68-90)
+    left_out = jnp.where(left.has_result, left_out, -1)
+    right_out = jnp.where(right.has_result, right_out, -1)
+    only_left = left.has_result & ~right.has_result
+    only_right = right.has_result & ~left.has_result
+    left_out = jnp.where(only_left, left_cfg, left_out)
+    right_out = jnp.where(only_right, right_cfg, right_out)
+    return left_out, right_out
+
+
+class SortingOutput(NamedTuple):
+    left_cones: Array  # (L, 2)
+    left_mask: Array  # (L,)
+    right_cones: Array  # (L, 2)
+    right_mask: Array  # (L,)
+
+
+def run_cone_sorting(
+    cfg: PlannerConfig,
+    points: Array,
+    mask: Array,
+    car_position: Array,
+    car_direction: Array,
+) -> SortingOutput:
+    """Reference TraceSorter.sort_left_right (core_trace_sorter.py:148-216).
+
+    `points` is the flattened (N, 3) [x, y, color] cone tensor. UNKNOWN-cone
+    filtering (use_unknown_cones=False) is applied by the caller.
+    """
+    left = sort_one_side(cfg, points, mask, ConeTypes.LEFT, car_position, car_direction)
+    right = sort_one_side(cfg, points, mask, ConeTypes.RIGHT, car_position, car_direction)
+
+    left_cfg, right_cfg = combine_traces(points, left, right, car_position, car_direction)
+
+    xy = points[:, :2]
+    n = xy.shape[0]
+
+    def compact(config: Array) -> tuple[Array, Array]:
+        keep = config != -1
+        order, valid = geo.stable_compact(keep)
+        cones = xy[jnp.clip(config[order], 0, n - 1)]
+        return jnp.where(valid[:, None], cones, 0.0), valid
+
+    lc, lm = compact(left_cfg)
+    rc, rm = compact(right_cfg)
+    return SortingOutput(left_cones=lc, left_mask=lm, right_cones=rc, right_mask=rm)

@@ -1,0 +1,220 @@
+"""Config cost function — all 7 terms of the reference, vectorized over a pool.
+
+Re-design of `sorting_cones/trace_sorter/cost_function.py:23-305`,
+`cone_distance_cost.py:14-32` and the Numba nearby-cone search
+(`nearby_cone_search.py:40-367`): per-config Python loops and dict-memoized
+angle checks become dense masked (C, L, N) tensor programs — on TPU,
+recomputation beats memoization.
+
+Configs are (C, L) int32 index tensors padded with -1; `valid` marks live pool
+slots. Points are the flattened (N, 3) cone tensor of the frame.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ft_fsd_path_planning_tpu.config import SortingConfig
+from ft_fsd_path_planning_tpu.ops import geometry as geo
+from ft_fsd_path_planning_tpu.utils.cone_types import ConeTypes
+
+Array = jax.Array
+
+# cost term weights (cost_function.py:283-284)
+_WEIGHTS = jnp.asarray([1000.0, 200.0, 5000.0, 1000.0, 0.0, 1000.0, 1000.0])
+_WEIGHTS = _WEIGHTS / jnp.sum(_WEIGHTS)
+
+
+def _gather_xy(points_xy: Array, configs: Array) -> Array:
+    return points_xy[jnp.clip(configs, 0, points_xy.shape[0] - 1)]
+
+
+def angle_cost(points_xy: Array, configs: Array) -> Array:
+    """Normalized inverted cone-to-cone angles x (1 + #angles under 40 deg)
+    (cost_function.py:41-79)."""
+    pts = _gather_xy(points_xy, configs)  # (C, L, 2)
+    # reference all_to_next[i] = p[c_i] - p[c_{i+1}], masked slots -> (100, 100)
+    to_next = pts[:, :-1, :] - pts[:, 1:, :]
+    overwrite = (configs == -1)[:, 1:]
+    to_next = jnp.where(overwrite[..., None], 100.0, to_next)
+
+    mid_to_next = to_next[:, 1:, :]
+    mid_to_prev = -to_next[:, :-1, :]
+    angles = geo.vec_angle_between(mid_to_next, mid_to_prev)  # (C, L-2)
+
+    is_part = (configs != -1)[:, 2:]
+    cost_raw = (jnp.pi - angles) / jnp.pi * is_part
+    under = (angles < jnp.deg2rad(40.0)) & is_part
+    factors = jnp.sum(under, axis=-1) + 1
+    denom = jnp.maximum(jnp.sum(is_part, axis=-1), 1)
+    return jnp.sum(cost_raw, axis=-1) / denom * factors
+
+
+def residual_distance_cost(points_xy: Array, configs: Array, threshold: float) -> Array:
+    """Sum of segment lengths above the threshold (cone_distance_cost.py:14-32)."""
+    pts = _gather_xy(points_xy, configs)
+    d = geo.trace_distance_to_next(pts)
+    seg_ok = (configs != -1)[:, 1:]
+    d = d * seg_ok
+    return jnp.sum(jnp.maximum(0.0, d - threshold), axis=-1)
+
+
+def n_cones_cost(configs: Array) -> Array:
+    n = jnp.maximum(jnp.sum(configs != -1, axis=-1), 1)
+    return 1.0 / n
+
+
+def initial_direction_cost(points_xy: Array, configs: Array, car_dir: Array) -> Array:
+    pts = _gather_xy(points_xy, configs)
+    first_seg = pts[:, 1, :] - pts[:, 0, :]
+    return geo.vec_angle_between(first_seg, car_dir)
+
+
+def _segment_angle_differences(points_xy: Array, configs: Array) -> tuple[Array, Array]:
+    """angle_difference(angle[i], angle[i+1]) per consecutive segment pair
+    (order matters: prev minus next), plus a per-difference validity mask."""
+    pts = _gather_xy(points_xy, configs)
+    d = jnp.diff(pts, axis=1)  # (C, L-1, 2)
+    ang = jnp.arctan2(d[..., 1], d[..., 0])
+    diff = geo.angle_difference(ang[:, :-1], ang[:, 1:])  # (C, L-2)
+    valid = (configs != -1)[:, 2:]
+    return diff, valid
+
+
+def change_of_direction_cost(points_xy: Array, configs: Array) -> Array:
+    """Zero-crossing cost (cost_function.py:107-146). Weight is 0 in the
+    reference; kept for per-term parity / diagnostics."""
+    diff, valid = _segment_angle_differences(points_xy, configs)
+    pair_valid = valid[:, 1:] & valid[:, :-1]
+    crossing = (jnp.sign(diff[:, :-1]) != jnp.sign(diff[:, 1:])) & pair_valid
+    raw = jnp.abs(diff[:, :-1] - diff[:, 1:])
+    out = jnp.sum(raw * crossing, axis=-1)
+    n = jnp.sum(configs != -1, axis=-1)
+    return jnp.where(n <= 3, 0.0, out)
+
+
+def wrong_direction_cost(points_xy: Array, configs: Array, cone_type: int) -> Array:
+    """|sum of over-threshold wrong-direction angle changes|
+    (cost_function.py:149-188)."""
+    diff, valid = _segment_angle_differences(points_xy, configs)
+    unwanted_sign = 1.0 if cone_type == ConeTypes.LEFT else -1.0
+    mask = (jnp.sign(diff) == unwanted_sign) & (jnp.abs(diff) > jnp.deg2rad(40.0)) & valid
+    total = jnp.sum(jnp.where(mask, diff, 0.0), axis=-1)
+    n = jnp.sum(configs != -1, axis=-1)
+    return jnp.where(n <= 3, 0.0, jnp.abs(total))
+
+
+def _config_search_directions(points_xy: Array, configs: Array, cone_type: int) -> Array:
+    """Search direction at each config position: normal of the prev->next
+    chord (match_directions.py:7-21 via nearby_cone_search.py:59-85).
+    Endpoints use one-sided chords. Returns (C, L, 2)."""
+    c, l = configs.shape
+    pts = _gather_xy(points_xy, configs)
+    lengths = jnp.sum(configs != -1, axis=-1)  # (C,)
+    pos = jnp.arange(l)
+
+    prev_pos = jnp.maximum(pos - 1, 0)
+    next_pos = jnp.minimum(pos + 1, l - 1)
+    # j == 0 -> chord (0, 1); j == len-1 -> chord (len-2, len-1)
+    is_first = pos[None, :] == 0
+    is_last = pos[None, :] == (lengths[:, None] - 1)
+    a_idx = jnp.where(is_first, 0, jnp.where(is_last, jnp.maximum(lengths[:, None] - 2, 0), prev_pos[None, :]))
+    b_idx = jnp.where(is_first, jnp.minimum(1, l - 1), jnp.where(is_last, lengths[:, None] - 1, next_pos[None, :]))
+
+    take = lambda idx: jnp.take_along_axis(pts, jnp.clip(idx, 0, l - 1)[..., None], axis=1)
+    chord = take(b_idx) - take(a_idx)  # (C, L, 2)
+    rotation = jnp.pi / 2 if cone_type == ConeTypes.RIGHT else -jnp.pi / 2
+    return geo.normalize_last_axis(geo.rotate(chord, rotation))
+
+
+def cones_on_side_cost(
+    points: Array,
+    points_mask: Array,
+    configs: Array,
+    valid: Array,
+    cone_type: int,
+    cfg: SortingConfig,
+) -> Array:
+    """1 / (n_good - n_bad + |min| + 1) visibility cost
+    (cost_function.py:191-210, nearby_cone_search.py:213-297).
+
+    The candidate set per config mirrors the reference exactly: cones within
+    the search distance of any pooled-config cone but in no pooled config
+    ("close"), plus cones used by *other* pooled configs ("extra"); then per
+    position the <6 m distance gate and the +-60 deg angle gates around the
+    search direction.
+    """
+    n = points.shape[0]
+    c, l = configs.shape
+    points_xy = points[:, :2]
+
+    cfg_onehot = jax.nn.one_hot(
+        jnp.where(valid[:, None], configs, -1), n, dtype=bool, axis=-1
+    )  # (C, L, N)
+    in_config = jnp.any(cfg_onehot, axis=1)  # (C, N)
+    in_any = jnp.any(in_config, axis=0)  # (N,)
+
+    d2 = geo.cdist_sq(points_xy, points_xy)
+    d2 = d2 + jnp.where(jnp.eye(n, dtype=bool), 1e6, 0.0)
+    within = d2 < cfg.side_search_distance**2  # (N, N)
+
+    near_any_config_cone = jnp.any(within & in_any[:, None] & points_mask[:, None], axis=0)
+    close = near_any_config_cone & ~in_any & points_mask  # (N,)
+    extra = in_any[None, :] & ~in_config  # (C, N)
+    candidate = close[None, :] | extra  # (C, N)
+
+    dirs = _config_search_directions(points_xy, configs, cone_type)  # (C, L, 2)
+    cone_pos = _gather_xy(points_xy, configs)  # (C, L, 2)
+    vec = points_xy[None, None, :, :] - cone_pos[:, :, None, :]  # (C, L, N, 2)
+
+    ang_good = geo.vec_angle_between(vec, dirs[:, :, None, :])
+    half = cfg.side_search_angle / 2.0
+    good_angle = ang_good < half
+    bad_angle = geo.vec_angle_between(vec, -dirs[:, :, None, :]) < half
+
+    pos_valid = (configs != -1)[:, :, None]  # (C, L, 1)
+    dist_gate = within[jnp.clip(configs, 0, n - 1)]  # (C, L, N)
+
+    base = candidate[:, None, :] & dist_gate & pos_valid
+    n_good = jnp.sum(base & good_angle, axis=(1, 2))
+    n_bad = jnp.sum(base & bad_angle, axis=(1, 2))
+
+    diff = (n_good - n_bad).astype(jnp.float32)
+    pool_min = jnp.min(jnp.where(valid, diff, jnp.inf))
+    pool_min = jnp.where(jnp.isfinite(pool_min), pool_min, 0.0)
+    diff = diff + jnp.abs(pool_min) + 1.0
+    return 1.0 / diff
+
+
+def cost_configurations(
+    points: Array,
+    points_mask: Array,
+    configs: Array,
+    valid: Array,
+    cone_type: int,
+    car_position: Array,
+    car_direction: Array,
+    cfg: SortingConfig,
+    return_individual: bool = False,
+) -> Array:
+    """Total weighted cost per pooled config (cost_function.py:213-305).
+    Invalid pool slots get +inf."""
+    points_xy = points[:, :2]
+    terms = jnp.stack(
+        [
+            angle_cost(points_xy, configs),
+            residual_distance_cost(points_xy, configs, cfg.distance_cost_threshold),
+            n_cones_cost(configs),
+            initial_direction_cost(points_xy, configs, car_direction),
+            change_of_direction_cost(points_xy, configs),
+            cones_on_side_cost(points, points_mask, configs, valid, cone_type, cfg),
+            wrong_direction_cost(points_xy, configs, cone_type),
+        ],
+        axis=-1,
+    )  # (C, 7)
+    weighted = terms * _WEIGHTS
+    if return_individual:
+        return weighted
+    total = jnp.sum(weighted, axis=-1)
+    return jnp.where(valid, total, jnp.inf)
