@@ -1,0 +1,298 @@
+"""Relocalization — batched SE(2) transform estimation for skidpad/accel.
+
+TPU-native re-design of the reference relocalizers
+(`relocalization/relocalization_base_class.py`, `skidpad/skidpad_relocalizer.py`,
+`acceleration/acceleration_relocalization.py`):
+
+* the transform closures become an explicit SE(2) parameterization carried in
+  :class:`RelocState`:   forward:  p' = R(rot) (p + t - c) + c,  yaw' = yaw+rot
+                         inverse:  p  = R(-rot)(p' - c) + c - t, yaw' = yaw-rot
+  (exact algebraic inverse of the reference's closure pair);
+* the skidpad powerset circle fits (C(20,3..5) ~= 21.5k subsets,
+  skidpad_relocalizer.py:31-64) become one vmapped masked circle fit over a
+  static subset-index table;
+* DBSCAN clustering becomes fixed-iteration label propagation over the
+  (compacted) accepted centers + masked medians + an 18.25 m pair search;
+* the acceleration RANSAC line fit uses a static random-subset table instead
+  of np.random state.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ft_fsd_path_planning_tpu.assets.known_paths import BASE_SKIDPAD_PATH
+from ft_fsd_path_planning_tpu.config import PlannerConfig
+from ft_fsd_path_planning_tpu.ops import geometry as geo
+
+Array = jax.Array
+
+_N_CLOSEST = 20
+_MAX_CENTERS = 64
+_CIRCLE_RADIUS = 7.625  # cone circle radius gate (skidpad_relocalizer.py:59)
+_NN_DIST = 2.4
+_RESIDUAL_MAX = 0.4
+_CENTER_SEP = 18.25
+_DBSCAN_EPS = 3.0
+
+
+class RelocState(NamedTuple):
+    has_origin: Array  # () bool — original pose stored
+    origin_position: Array  # (2,)
+    origin_direction: Array  # (2,)
+    relocalized: Array  # () bool
+    rotation: Array  # ()
+    translation: Array  # (2,)
+    center: Array  # (2,)
+
+    @staticmethod
+    def initial(dtype=jnp.float32) -> "RelocState":
+        return RelocState(
+            has_origin=jnp.asarray(False),
+            origin_position=jnp.zeros(2, dtype),
+            origin_direction=jnp.zeros(2, dtype),
+            relocalized=jnp.asarray(False),
+            rotation=jnp.asarray(0.0, dtype),
+            translation=jnp.zeros(2, dtype),
+            center=jnp.zeros(2, dtype),
+        )
+
+
+def transform_to_known_frame(state: RelocState, pos: Array, yaw: Array) -> tuple[Array, Array]:
+    p = geo.rotate(pos + state.translation - state.center, state.rotation) + state.center
+    return p, yaw + state.rotation
+
+
+def transform_to_original_frame(state: RelocState, pos: Array, yaw: Array) -> tuple[Array, Array]:
+    p = geo.rotate(pos - state.center, -state.rotation) + state.center - state.translation
+    return p, yaw - state.rotation
+
+
+# ---------------------------------------------------------------------------
+# skidpad
+# ---------------------------------------------------------------------------
+
+
+def _subset_table() -> np.ndarray:
+    """All C(20,3) + C(20,4) + C(20,5) index subsets, -1 padded to width 5."""
+    rows = []
+    for size in (3, 4, 5):
+        for idxs in combinations(range(_N_CLOSEST), size):
+            rows.append(list(idxs) + [-1] * (5 - size))
+    return np.asarray(rows, np.int32)
+
+
+_SUBSETS = _subset_table()  # (21489, 5)
+# deterministic jitter against collinear subsets (reference adds 1e-3 noise,
+# skidpad_relocalizer.py:52-53)
+_SUBSET_NOISE = np.random.default_rng(42).normal(0.0, 1e-3, (_SUBSETS.shape[0], 5, 2)).astype(np.float32)
+
+
+def _reference_centers() -> np.ndarray:
+    """Circle centers of the known path's two lobes
+    (skidpad_relocalizer.py:172-183): [right (y<-2), left (y>2)]."""
+    path = BASE_SKIDPAD_PATH
+    neg = path[path[:, 1] < -2]
+    pos = path[path[:, 1] > 2]
+
+    def fit(pts):
+        out = geo.circle_fit(jnp.asarray(pts, jnp.float32))
+        return np.asarray(out)[:2]
+
+    return np.stack([fit(neg), fit(pos)])
+
+
+_REF_CENTERS = _reference_centers()  # (2, 2) [right, left]
+
+
+def skidpad_relocalize_once(
+    cones_xy: Array,
+    mask: Array,
+    vehicle_position: Array,
+    origin_position: Array,
+    origin_direction: Array,
+) -> tuple[Array, Array, Array, Array]:
+    """One skidpad relocalization attempt
+    (skidpad_relocalizer.py:198-240). Returns (ok, rotation, translation,
+    center)."""
+    n = cones_xy.shape[0]
+
+    # 20 closest cones (:208-212)
+    dist = jnp.where(mask, jnp.linalg.norm(cones_xy - vehicle_position, axis=1), jnp.inf)
+    _, close_idx = jax.lax.top_k(-dist, _N_CLOSEST)
+    close = cones_xy[close_idx]  # (20, 2)
+    close_ok = jnp.isfinite(dist[close_idx])
+
+    # powerset circle fits (:31-64)
+    subsets = jnp.asarray(_SUBSETS)
+    sub_mask = subsets >= 0
+    sub_idx = jnp.clip(subsets, 0, _N_CLOSEST - 1)
+    pts = close[sub_idx]  # (S, 5, 2)
+    valid_members = sub_mask & close_ok[sub_idx]
+    subset_ok = jnp.all(valid_members == sub_mask, axis=1)  # no padded-invalid member
+
+    # mean nearest-neighbour distance inside the subset
+    d2 = geo.cdist_sq(pts, pts)  # (S, 5, 5)
+    pair_ok = sub_mask[:, :, None] & sub_mask[:, None, :] & ~jnp.eye(5, dtype=bool)
+    d2 = jnp.where(pair_ok, d2, jnp.inf)
+    nn = jnp.sqrt(jnp.min(d2, axis=-1))  # (S, 5)
+    count = jnp.maximum(jnp.sum(sub_mask, axis=1), 1)
+    mean_nn = jnp.sum(jnp.where(sub_mask, nn, 0.0), axis=1) / count
+
+    pts_noisy = pts + jnp.asarray(_SUBSET_NOISE)
+    circ = geo.circle_fit(pts_noisy, sub_mask)  # (S, 3)
+    center_s, radius_s = circ[:, :2], circ[:, 2]
+    resid = jnp.abs(
+        jnp.linalg.norm(center_s[:, None, :] - pts_noisy, axis=-1) - radius_s[:, None]
+    )
+    residual = jnp.sum(jnp.where(sub_mask, resid, 0.0), axis=1) / count
+
+    accept = (
+        subset_ok
+        & (jnp.abs(radius_s - _CIRCLE_RADIUS) < 1.0)
+        & (jnp.abs(mean_nn - _NN_DIST) < 1.5)
+        & (residual < _RESIDUAL_MAX)
+    )
+    enough = jnp.sum(accept) >= 3  # (:218-219)
+
+    # compact accepted centers (up to 64) and cluster by label propagation
+    order, cvalid = geo.stable_compact(accept, _MAX_CENTERS)
+    centers = center_s[order]  # (64, 2)
+
+    cd = jnp.sqrt(geo.cdist_sq(centers, centers))
+    adj = (cd < _DBSCAN_EPS) & cvalid[:, None] & cvalid[None, :]
+    labels = jnp.where(cvalid, jnp.arange(_MAX_CENTERS), _MAX_CENTERS)
+    for _ in range(8):
+        neigh_min = jnp.min(jnp.where(adj, labels[None, :], _MAX_CENTERS), axis=1)
+        labels = jnp.minimum(labels, neigh_min)
+
+    # per-cluster medians (component-wise, like np.median over members)
+    member = (labels[None, :] == labels[:, None]) & cvalid[None, :] & cvalid[:, None]
+    med_x = geo.masked_median(jnp.broadcast_to(centers[:, 0], member.shape), member)
+    med_y = geo.masked_median(jnp.broadcast_to(centers[:, 1], member.shape), member)
+    medians = jnp.stack([med_x, med_y], axis=1)  # (64, 2) one per node
+
+    is_leader = (labels == jnp.arange(_MAX_CENTERS)) & cvalid
+    n_clusters = jnp.sum(is_leader)
+
+    # pair of cluster medians separated by ~18.25 m (:78-98)
+    sep = jnp.linalg.norm(medians[:, None, :] - medians[None, :, :], axis=-1)
+    pair_valid = is_leader[:, None] & is_leader[None, :] & (
+        jnp.arange(_MAX_CENTERS)[:, None] < jnp.arange(_MAX_CENTERS)[None, :]
+    )
+    score = jnp.where(pair_valid, jnp.abs(_CENTER_SEP - sep), jnp.inf)
+    flat = jnp.argmin(score)
+    bi, bj = flat // _MAX_CENTERS, flat % _MAX_CENTERS
+    pair_found = (n_clusters > 1) & (score[bi, bj] < 0.5)
+
+    c1, c2 = medians[bi], medians[bj]
+
+    # left/right assignment in the original vehicle frame (:112-119)
+    yaw0 = geo.angle_from_2d_vector(origin_direction)
+    f1 = geo.rotate(c1 - origin_position, -yaw0)
+    c1_is_right = f1[1] < 0.0
+    right_calc = jnp.where(c1_is_right, c1, c2)
+    left_calc = jnp.where(c1_is_right, c2, c1)
+    # both centers on the same side -> reference IndexError -> fail (:237-238)
+    f2 = geo.rotate(c2 - origin_position, -yaw0)
+    sides_ok = (f1[1] < 0.0) != (f2[1] < 0.0)
+
+    ref_right = jnp.asarray(_REF_CENTERS[0])
+    ref_left = jnp.asarray(_REF_CENTERS[1])
+
+    translation = ref_right - right_calc
+    ref_angle = geo.angle_from_2d_vector(ref_left - ref_right)
+    calc_angle = geo.angle_from_2d_vector(left_calc - right_calc)
+    rotation = ref_angle - calc_angle
+
+    ok = enough & pair_found & sides_ok
+    return ok, rotation, translation, ref_right
+
+
+# ---------------------------------------------------------------------------
+# acceleration
+# ---------------------------------------------------------------------------
+
+_N_RANSAC = 100
+_RANSAC_U = np.random.default_rng(3).random((_N_RANSAC, 3)).astype(np.float32)
+
+
+def acceleration_relocalize_once(
+    cones_xy: Array,
+    mask: Array,
+    vehicle_position: Array,
+    vehicle_direction: Array,
+    origin_position: Array,
+) -> tuple[Array, Array, Array, Array]:
+    """One acceleration relocalization attempt
+    (acceleration_relocalization.py:121-169): RANSAC-style line fit of the
+    near-left cone row. Returns (ok, rotation, translation, center)."""
+    yaw = geo.angle_from_2d_vector(vehicle_direction)
+    local = geo.rotate(cones_xy - vehicle_position, -yaw)
+    row = mask & (local[:, 1] > 0.0) & (local[:, 1] < 2.0)
+    n_row = jnp.sum(row)
+
+    order, valid = geo.stable_compact(row)
+    pts = local[order]  # compacted row cones
+
+    # static pseudo-random 3-subsets over the live prefix
+    u = jnp.asarray(_RANSAC_U)
+    idx = jnp.minimum((u * n_row).astype(jnp.int32), jnp.maximum(n_row - 1, 0))
+    sub = pts[idx]  # (100, 3, 2)
+
+    x, y = sub[..., 0], sub[..., 1]
+    mx = jnp.mean(x, axis=1, keepdims=True)
+    my = jnp.mean(y, axis=1, keepdims=True)
+    var = jnp.sum((x - mx) ** 2, axis=1)
+    cov = jnp.sum((x - mx) * (y - my), axis=1)
+    slope = cov / jnp.maximum(var, 1e-9)
+    intercept = my[:, 0] - slope * mx[:, 0]
+    sse = jnp.sum((y - (slope[:, None] * x + intercept[:, None])) ** 2, axis=1)
+    best = jnp.argmin(sse)
+    best_slope = slope[best]
+
+    angle_to_fix = jnp.arctan(best_slope) + yaw
+    ok = n_row >= 4
+    # unified SE(2): p' = R(-angle)(p - origin) -> rot=-angle, t=-origin, c=0
+    return ok, -angle_to_fix, -origin_position, jnp.zeros(2, cones_xy.dtype)
+
+
+def attempt_relocalization(
+    cfg: PlannerConfig,
+    state: RelocState,
+    cones_xy: Array,
+    mask: Array,
+    position: Array,
+    direction: Array,
+) -> RelocState:
+    """Reference Relocalizer.attempt_relocalization_calculation
+    (relocalization_base_class.py:50-75): store the first pose, retry every
+    frame until a transform is found, then freeze."""
+    origin_pos = jnp.where(state.has_origin, state.origin_position, position)
+    origin_dir = jnp.where(state.has_origin, state.origin_direction, direction)
+
+    if cfg.mission.name == "skidpad":
+        ok, rot, trans, center = skidpad_relocalize_once(
+            cones_xy, mask, position, origin_pos, origin_dir
+        )
+    else:
+        ok, rot, trans, center = acceleration_relocalize_once(
+            cones_xy, mask, position, direction, origin_pos
+        )
+
+    take = ok & ~state.relocalized
+    return RelocState(
+        has_origin=jnp.asarray(True),
+        origin_position=origin_pos,
+        origin_direction=origin_dir,
+        relocalized=state.relocalized | ok,
+        rotation=jnp.where(take, rot, state.rotation),
+        translation=jnp.where(take, trans, state.translation),
+        center=jnp.where(take, center, state.center),
+    )

@@ -95,6 +95,24 @@ def build_track(curv_angle: float, n: int = 10, width: float = 3.0, spacing: flo
     return left, right, matches, matches
 
 
+def path_parity_deviation(ref_path: np.ndarray, our_path: np.ndarray) -> float:
+    """Symmetric curve deviation over the common arc span.
+
+    The 20 m trim boundary is a float razor edge: the final sample count can
+    flip by one between float64 (reference) and float32 runs, adding/removing
+    one 0.165 m *tail* sample without moving the curve. Compare laterally over
+    the overlapping theta range instead.
+    """
+    span = min(ref_path[-1, 0], our_path[-1, 0]) + 1e-6
+    ref_q = ref_path[ref_path[:, 0] <= span, 1:3]
+    our_q = our_path[our_path[:, 0] <= span, 1:3]
+    # query points clipped to the common span, target curves kept whole
+    return max(
+        curve_deviation(our_q, ref_path[:, 1:3]),
+        curve_deviation(ref_q, our_path[:, 1:3]),
+    )
+
+
 def curve_deviation(pts_a: np.ndarray, pts_b: np.ndarray) -> float:
     """Max over points of A of the distance to the polyline B (densified).
 
