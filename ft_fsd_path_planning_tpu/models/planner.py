@@ -76,11 +76,16 @@ def _known_global_path(cfg: PlannerConfig) -> pathing.GlobalPathBuffer:
 
 
 def make_initial_state(cfg: PlannerConfig) -> PlannerState:
-    return PlannerState(
-        path=pathing.initial_path_state(cfg),
-        reloc=relocalization.RelocState.initial(),
-        global_path=pathing.GlobalPathBuffer.empty(GLOBAL_PATH_BUFFER_LEN),
-    )
+    # jit: built eagerly this is hundreds of tiny dispatches (very slow on
+    # remote-attached accelerators)
+    def build() -> PlannerState:
+        return PlannerState(
+            path=pathing.initial_path_state(cfg),
+            reloc=relocalization.RelocState.initial(),
+            global_path=pathing.GlobalPathBuffer.empty(GLOBAL_PATH_BUFFER_LEN),
+        )
+
+    return jax.jit(build)()
 
 
 def planner_step(

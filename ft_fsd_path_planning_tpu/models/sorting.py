@@ -144,7 +144,14 @@ def build_adjacency(
     for _ in range(cfg.max_length):
         reach = reach | jnp.any(adj & reach[None, :], axis=-1)
     target_length = jnp.minimum(jnp.sum(reach), cfg.max_length)
-    return adj, target_length
+
+    # compressed neighbor lists: after AND-symmetrization each node keeps at
+    # most max_n_neighbors edges, so the beam search only ever scores
+    # (K, max_n_neighbors) candidates instead of (K, N)
+    nb_vals, nb_idx = jax.lax.top_k(adj.astype(jnp.int32), cfg.max_n_neighbors)
+    neighbor_idx = nb_idx.astype(jnp.int32)
+    neighbor_ok = nb_vals > 0
+    return adj, neighbor_idx, neighbor_ok, target_length
 
 
 # ---------------------------------------------------------------------------
@@ -180,89 +187,99 @@ def _partial_score(cfg: SortingConfig, st: _BeamState) -> Array:
     )
 
 
+def _cross2(a: Array, b: Array) -> Array:
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
 def _extension_gates(
     cfg: SortingConfig,
     xy: Array,
-    adj: Array,
+    neighbor_idx: Array,
+    neighbor_ok: Array,
     st: _BeamState,
     cone_type: int,
     car_position: Array,
     car_direction: Array,
-    target_length: Array,
-) -> tuple[Array, Array, Array, Array]:
-    """All DFS pruning gates as a (K, N) mask
-    (end_configurations.py:109-223). Also returns per-child increments
-    (theta, seg_len, angle_diff) reused by the scoring update."""
+) -> tuple[Array, Array, Array, Array, Array]:
+    """All DFS pruning gates (end_configurations.py:109-223) on the gathered
+    (K, C) candidate set, C = max_n_neighbors.
+
+    After AND-symmetrization every node has <= C neighbors, so scoring (K, C)
+    gathered candidates is exact — and every angular threshold is evaluated
+    through cos/cross comparisons so the hot loop has (almost) no
+    transcendentals. Returns (can (K,C), cand_idx (K,C), theta, seg_len,
+    diff) with theta/diff as real angles for the cost carries.
+    """
     k, l = st.configs.shape
     n = xy.shape[0]
 
-    last_idx = jnp.take_along_axis(
-        st.configs, jnp.maximum(st.lengths - 1, 0)[:, None], axis=1
-    )[:, 0]
-    prev_idx = jnp.take_along_axis(
-        st.configs, jnp.maximum(st.lengths - 2, 0)[:, None], axis=1
-    )[:, 0]
-    prev2_idx = jnp.take_along_axis(
-        st.configs, jnp.maximum(st.lengths - 3, 0)[:, None], axis=1
-    )[:, 0]
-    first_idx = st.configs[:, 0]
+    def tail(off):
+        return jnp.take_along_axis(
+            st.configs, jnp.maximum(st.lengths - off, 0)[:, None], axis=1
+        )[:, 0]
 
+    last_idx, prev_idx, prev2_idx = tail(1), tail(2), tail(3)
     last = xy[jnp.clip(last_idx, 0, n - 1)]  # (K, 2)
     prev = xy[jnp.clip(prev_idx, 0, n - 1)]
     prev2 = xy[jnp.clip(prev2_idx, 0, n - 1)]
-    first = xy[jnp.clip(first_idx, 0, n - 1)]
+    first = xy[jnp.clip(st.configs[:, 0], 0, n - 1)]
     p = st.lengths - 1  # position_in_stack of the last element
 
-    cand = xy[None, :, :]  # (1, N, 2)
+    cand_idx = neighbor_idx[jnp.clip(last_idx, 0, n - 1)]  # (K, C)
+    can = neighbor_ok[jnp.clip(last_idx, 0, n - 1)]
+    cand = xy[cand_idx]  # (K, C, 2)
 
-    # 1. adjacency + not already in config
-    can = adj[jnp.clip(last_idx, 0, n - 1)]  # (K, N)
-    in_config = jnp.any(
-        st.configs[:, :, None] == jnp.arange(n)[None, None, :], axis=1
-    )
+    # 1. not already in config
+    in_config = jnp.any(cand_idx[:, :, None] == st.configs[:, None, :], axis=-1)
     can = can & ~in_config
 
-    # 2. ellipse gate, p >= 1 (:282-300)
-    major_dir = last - prev  # (K, 2)
-    ellipse = geo.points_inside_ellipse(
-        cand, last[:, None, :], major_dir, cfg.ellipse_major, cfg.ellipse_minor
-    )
+    # 2. ellipse gate, p >= 1 (:282-300) — rotation via the normalized major
+    # direction, no trig
+    major = geo.normalize_last_axis(last - prev)  # (K, 2)
+    rel = cand - last[:, None, :]
+    xr = jnp.sum(rel * major[:, None, :], axis=-1)
+    yr = _cross2(major[:, None, :], rel)
+    ellipse = (xr / cfg.ellipse_major) ** 2 + (yr / cfg.ellipse_minor) ** 2 < 1.0
     can = can & jnp.where((p >= 1)[:, None], ellipse, True)
 
     # 3. second cone on correct vehicle side, p == 0 (:260-278)
-    car_to_cand = cand - car_position  # (1, N, 2)
-    ang_car = geo.angle_from_2d_vector(car_direction)
-    ang_to_cand = geo.angle_from_2d_vector(car_to_cand)
-    dsign = geo.angle_difference(ang_to_cand, ang_car)  # (1, N)
+    car_to_cand = cand - car_position
+    dsign = jnp.arctan2(
+        _cross2(car_direction, car_to_cand),
+        jnp.sum(car_direction * car_to_cand, axis=-1),
+    )
     expected = 1.0 if cone_type == ConeTypes.LEFT else -1.0
     side_gate = (jnp.sign(dsign) == expected) | (jnp.abs(dsign) < jnp.deg2rad(5.0))
     can = can & jnp.where((p == 0)[:, None], side_gate, True)
 
     # 4. no cone skipped between last and candidate (:227-257): any *other*
     # neighbor m of `last` with both distances < 6 and angle at m > 150 deg
-    neighbors = adj[jnp.clip(last_idx, 0, n - 1)]  # (K, N) m-mask
-    m_to_last = last[:, None, :] - xy[None, :, :]  # (K, M, 2)
-    # build (K, N_cand, M): vec m->cand = xy[cand] - xy[m]
-    v_mc = xy[None, :, None, :] - xy[None, None, :, :]  # (1, Ncand, M, 2)
-    d_mc = jnp.linalg.norm(v_mc, axis=-1)  # (1, Ncand, M)
-    d_ml = jnp.linalg.norm(m_to_last, axis=-1)  # (K, M)
-    ang_at_m = geo.vec_angle_between(m_to_last[:, None, :, :], v_mc)  # (K, Ncand, M)
-    not_self = jnp.arange(n)[None, :, None] != jnp.arange(n)[None, None, :]
+    pos_m = cand  # the m set == the neighbor set of `last`
+    m_ok = neighbor_ok[jnp.clip(last_idx, 0, n - 1)]
+    v_ml = last[:, None, :] - pos_m  # (K, M, 2)
+    v_mc = cand[:, :, None, :] - pos_m[:, None, :, :]  # (K, C, M, 2)
+    d_ml = jnp.linalg.norm(v_ml, axis=-1)  # (K, M)
+    d_mc = jnp.linalg.norm(v_mc, axis=-1)  # (K, C, M)
+    dots = jnp.sum(v_ml[:, None, :, :] * v_mc, axis=-1)  # (K, C, M)
+    # angle(v_ml, v_mc) > 150deg  <=>  cos < cos(150deg)
+    cos_gate = dots < jnp.cos(cfg.between_angle) * d_ml[:, None, :] * d_mc
+    not_self = cand_idx[:, :, None] != cand_idx[:, None, :]
     blocker = (
-        neighbors[:, None, :]
+        m_ok[:, None, :]
         & not_self
         & (d_mc < cfg.between_dist)
         & (d_ml[:, None, :] < cfg.between_dist)
-        & (ang_at_m > cfg.between_angle)
+        & cos_gate
     )
     can = can & ~jnp.any(blocker, axis=-1)
 
     # 5. direction-change thresholds, p >= 1 (:172-191)
     seg_prev = last - prev  # (K, 2)
-    seg_new = cand - last[:, None, :]  # (K, N, 2)
-    ang1 = jnp.arctan2(seg_prev[:, 1], seg_prev[:, 0])[:, None]  # (K, 1)
-    ang2 = jnp.arctan2(seg_new[..., 1], seg_new[..., 0])  # (K, N)
-    diff = geo.angle_difference(ang2, ang1)  # (K, N)
+    seg_new = cand - last[:, None, :]  # (K, C, 2)
+    diff = jnp.arctan2(
+        _cross2(seg_prev[:, None, :], seg_new),
+        jnp.sum(seg_prev[:, None, :] * seg_new, axis=-1),
+    )  # (K, C) == angle_difference(atan2(seg_new), atan2(seg_prev))
     seg_len = jnp.linalg.norm(seg_new, axis=-1)
     abs_ok = jnp.abs(diff) <= cfg.threshold_absolute_angle
     if cone_type == ConeTypes.LEFT:
@@ -277,14 +294,15 @@ def _extension_gates(
 
     # 6. flip-kill, p >= 2 (:194-205)
     seg_pp = prev - prev2
-    ang3 = jnp.arctan2(seg_pp[:, 1], seg_pp[:, 0])[:, None]
-    diff2 = geo.angle_difference(ang1, ang3)  # (K, 1)
+    diff2 = jnp.arctan2(
+        _cross2(seg_pp, seg_prev), jnp.sum(seg_pp * seg_prev, axis=-1)
+    )[:, None]  # (K, 1)
     flip = (jnp.sign(diff) != jnp.sign(diff2)) & (jnp.abs(diff - diff2) > 1.3)
     can = can & jnp.where((p >= 2)[:, None], ~flip, True)
 
-    # 7. direction offset from start, p == 1 (:207-211)
-    off = geo.vec_angle_between(car_direction, cand - first[:, None, :])
-    can = can & jnp.where((p == 1)[:, None], off < jnp.pi / 2, True)
+    # 7. direction offset from start, p == 1 (:207-211): angle < pi/2 <=> dot > 0
+    off_ok = jnp.sum(car_direction * (cand - first[:, None, :]), axis=-1) > 0
+    can = can & jnp.where((p == 1)[:, None], off_ok, True)
 
     # 8. no car-body crossing (:213-221)
     dnorm = car_direction / jnp.linalg.norm(car_direction)
@@ -297,7 +315,7 @@ def _extension_gates(
 
     # interior-angle increment for the scoring update: angle at `last`
     theta = geo.vec_angle_between(prev[:, None, :] - last[:, None, :], seg_new)
-    return can, theta, seg_len, diff
+    return can, cand_idx, theta, seg_len, diff
 
 
 def _beam_search_side(
@@ -310,7 +328,8 @@ def _beam_search_side(
     n_first: Array,
     car_position: Array,
     car_direction: Array,
-    adj: Array,
+    neighbor_idx: Array,
+    neighbor_ok: Array,
     target_length: Array,
 ) -> tuple[Array, Array]:
     """Run the beam search; returns (configs (K, L), pool_valid (K,))."""
@@ -344,14 +363,17 @@ def _beam_search_side(
         wrong_sum=jnp.zeros(k),
     )
 
+    c = cfg.max_n_neighbors
+
     def step(_, st: _BeamState) -> _BeamState:
-        can, theta, seg_len, diff = _extension_gates(
-            cfg, xy, adj, st, cone_type, car_position, car_direction, target_length
+        can, cand_idx, theta, seg_len, diff = _extension_gates(
+            cfg, xy, neighbor_idx, neighbor_ok, st, cone_type,
+            car_position, car_direction,
         )
         expandable = st.alive & ~st.done & (st.lengths < target_length)
         can = can & expandable[:, None]
 
-        # children carries
+        # children carries, all (K, C)
         p = st.lengths - 1
         add_interior = (p >= 1)[:, None]
         c_angle_sum = st.angle_sum[:, None] + jnp.where(
@@ -362,9 +384,10 @@ def _beam_search_side(
         ).astype(jnp.int32)
         c_residual = st.residual[:, None] + jnp.maximum(0.0, seg_len - 3.0)
         first = xy[jnp.clip(st.configs[:, 0], 0, n - 1)]
+        cand_pos = xy[cand_idx]
         c_init = jnp.where(
             (p == 0)[:, None],
-            geo.vec_angle_between(xy[None, :, :] - first[:, None, :], car_direction),
+            geo.vec_angle_between(cand_pos - first[:, None, :], car_direction),
             st.init_cost[:, None],
         )
         unwanted = 1.0 if cone_type == ConeTypes.LEFT else -1.0
@@ -391,12 +414,13 @@ def _beam_search_side(
         frozen = st.alive & (done | ~expandable)
         parent_score = jnp.where(frozen, _partial_score(cfg, st), _INF)
 
-        # pool: K frozen parents + K*N children -> best K
+        # pool: K frozen parents + K*C children -> best K
         pool_scores = jnp.concatenate([parent_score, c_score.reshape(-1)])
         _, sel = jax.lax.top_k(-pool_scores, k)
         is_parent = sel < k
-        parent_of = jnp.where(is_parent, sel, (sel - k) // n)
-        child_cone = jnp.where(is_parent, 0, (sel - k) % n).astype(jnp.int32)
+        parent_of = jnp.where(is_parent, sel, (sel - k) // c)
+        child_slot = jnp.where(is_parent, 0, (sel - k) % c).astype(jnp.int32)
+        child_cone = cand_idx[parent_of, child_slot]
         sel_valid = jnp.isfinite(pool_scores[sel])
 
         g = lambda arr: arr[parent_of]
@@ -415,11 +439,11 @@ def _beam_search_side(
             lengths=jnp.where(sel_valid, g(st.lengths) + ext, 0).astype(jnp.int32),
             alive=sel_valid,
             done=jnp.where(ext, False, g(done)) & sel_valid,
-            angle_sum=pick(c_angle_sum[parent_of, child_cone], g(st.angle_sum)),
-            n_under=pick(c_n_under[parent_of, child_cone], g(st.n_under)),
-            residual=pick(c_residual[parent_of, child_cone], g(st.residual)),
-            init_cost=pick(c_init[parent_of, child_cone], g(st.init_cost)),
-            wrong_sum=pick(c_wrong[parent_of, child_cone], g(st.wrong_sum)),
+            angle_sum=pick(c_angle_sum[parent_of, child_slot], g(st.angle_sum)),
+            n_under=pick(c_n_under[parent_of, child_slot], g(st.n_under)),
+            residual=pick(c_residual[parent_of, child_slot], g(st.residual)),
+            init_cost=pick(c_init[parent_of, child_slot], g(st.init_cost)),
+            wrong_sum=pick(c_wrong[parent_of, child_slot], g(st.wrong_sum)),
         )
 
     st = jax.lax.fori_loop(0, l - 1, step, st)
@@ -493,11 +517,13 @@ def sort_one_side(
     enough_cones = jnp.sum(mask) >= 3
     startable = (n_first >= 1) & enough_cones
 
-    adj, target_length = build_adjacency(s, points, mask, cone_type, prefix[0])
+    adj, neighbor_idx, neighbor_ok, target_length = build_adjacency(
+        s, points, mask, cone_type, prefix[0]
+    )
 
     configs, valid = _beam_search_side(
         s, k, points, mask, cone_type, prefix, n_first,
-        car_position, car_direction, adj, target_length,
+        car_position, car_direction, neighbor_idx, neighbor_ok, target_length,
     )
     configs, valid = _postfilter_pool(points, configs, valid, cone_type)
     valid = valid & startable

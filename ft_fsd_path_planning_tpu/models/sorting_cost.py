@@ -168,10 +168,13 @@ def cones_on_side_cost(
     cone_pos = _gather_xy(points_xy, configs)  # (C, L, 2)
     vec = points_xy[None, None, :, :] - cone_pos[:, :, None, :]  # (C, L, N, 2)
 
-    ang_good = geo.vec_angle_between(vec, dirs[:, :, None, :])
-    half = cfg.side_search_angle / 2.0
-    good_angle = ang_good < half
-    bad_angle = geo.vec_angle_between(vec, -dirs[:, :, None, :]) < half
+    # angle(vec, ±dir) < half  <=>  ±dot(vec, dir) > cos(half)·|vec|
+    # (dirs are unit vectors) — no arccos on the (C, L, N) tensor
+    half_cos = jnp.cos(cfg.side_search_angle / 2.0)
+    vec_norm = jnp.linalg.norm(vec, axis=-1)
+    dots = jnp.sum(vec * dirs[:, :, None, :], axis=-1)
+    good_angle = dots > half_cos * vec_norm
+    bad_angle = -dots > half_cos * vec_norm
 
     pos_valid = (configs != -1)[:, :, None]  # (C, L, 1)
     dist_gate = within[jnp.clip(configs, 0, n - 1)]  # (C, L, N)
