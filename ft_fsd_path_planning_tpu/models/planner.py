@@ -105,9 +105,10 @@ def planner_step(
 
     if cfg.has_relocalizer:
         # relocalization replaces sorting+matching (full_pipeline.py:122-141)
-        reloc = relocalization.attempt_relocalization(
-            cfg, state.reloc, frame.cones[:, :2], frame.mask, position, direction
-        )
+        with jax.named_scope("relocalization"):
+            reloc = relocalization.attempt_relocalization(
+                cfg, state.reloc, frame.cones[:, :2], frame.mask, position, direction
+            )
         relocalized = reloc.relocalized
         yaw = geo.angle_from_2d_vector(direction)
         pos_t, yaw_t = relocalization.transform_to_known_frame(reloc, position, yaw)
@@ -135,9 +136,10 @@ def planner_step(
         if not cfg.sorting.use_unknown_cones:
             mask = mask & (frame.cones[:, 2] != ConeTypes.UNKNOWN)
 
-        sort_out = sorting.run_cone_sorting(
-            cfg, frame.cones, mask, position, direction
-        )
+        with jax.named_scope("cone_sorting"):
+            sort_out = sorting.run_cone_sorting(
+                cfg, frame.cones, mask, position, direction
+            )
         sorted_l, sorted_l_m = sort_out.left_cones, sort_out.left_mask
         sorted_r, sorted_r_m = sort_out.right_cones, sort_out.right_mask
 
@@ -147,30 +149,32 @@ def planner_step(
         )
         ml, mlm = pad(sorted_l, sorted_l_m)
         mr, mrm = pad(sorted_r, sorted_r_m)
-        match_out = matching.run_cone_matching(
-            cfg,
-            matching.MatchingInput(
-                left_cones=ml, left_mask=mlm,
-                right_cones=mr, right_mask=mrm,
-                position=position, direction=direction,
-            ),
-        )
+        with jax.named_scope("cone_matching"):
+            match_out = matching.run_cone_matching(
+                cfg,
+                matching.MatchingInput(
+                    left_cones=ml, left_mask=mlm,
+                    right_cones=mr, right_mask=mrm,
+                    position=position, direction=direction,
+                ),
+            )
 
-    path_out = pathing.run_path_calculation(
-        cfg,
-        pathing.PathInput(
-            left_cones=match_out.left_cones,
-            left_mask=match_out.left_mask,
-            right_cones=match_out.right_cones,
-            right_mask=match_out.right_mask,
-            left_to_right=match_out.left_to_right,
-            right_to_left=match_out.right_to_left,
-            position=position,
-            direction=direction,
-        ),
-        gp,
-        state.path,
-    )
+    with jax.named_scope("path_calculation"):
+        path_out = pathing.run_path_calculation(
+            cfg,
+            pathing.PathInput(
+                left_cones=match_out.left_cones,
+                left_mask=match_out.left_mask,
+                right_cones=match_out.right_cones,
+                right_mask=match_out.right_mask,
+                left_to_right=match_out.left_to_right,
+                right_to_left=match_out.right_to_left,
+                position=position,
+                direction=direction,
+            ),
+            gp,
+            state.path,
+        )
 
     final = path_out.path
     if cfg.has_relocalizer:

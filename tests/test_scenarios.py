@@ -1,0 +1,30 @@
+"""Scenario fixture library: every curated scenario must produce a sane path
+from both planners with bounded deviation."""
+
+import numpy as np
+import pytest
+
+from ft_fsd_path_planning_tpu import MissionTypes, PathPlanner
+from ft_fsd_path_planning_tpu.demo.scenarios import ALL_SCENARIOS
+from tests.reference_oracle import load_reference
+from tests.test_pathing import path_parity_deviation
+
+ref_pkg = load_reference()
+
+
+@pytest.mark.parametrize("name", sorted(ALL_SCENARIOS))
+def test_scenario(name):
+    cones, pos, direction = ALL_SCENARIOS[name]()
+
+    ref_planner = ref_pkg.PathPlanner(ref_pkg.MissionTypes.trackdrive)
+    our_planner = PathPlanner(MissionTypes.trackdrive)
+
+    ref_out = ref_planner.calculate_path_in_global_frame(
+        [c.copy() for c in cones], pos.copy(), direction.copy()
+    )
+    our_out = our_planner.calculate_path_in_global_frame(cones, pos, direction)
+
+    assert our_out.shape == (40, 4)
+    assert np.all(np.isfinite(our_out))
+    dev = path_parity_deviation(ref_out, our_out)
+    assert dev < 0.08, f"{name}: deviation {dev:.3f} m"
