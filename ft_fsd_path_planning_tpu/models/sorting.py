@@ -31,8 +31,14 @@ Array = jax.Array
 _INF = jnp.inf
 
 
-def _invert(cone_type: int) -> int:
-    return ConeTypes.RIGHT if cone_type == ConeTypes.LEFT else ConeTypes.LEFT
+def _invert(cone_type: Array) -> Array:
+    """LEFT (2) <-> RIGHT (1); works on traced values."""
+    return 3 - cone_type
+
+
+def _left_sign(cone_type: Array) -> Array:
+    """+1 for LEFT, -1 for RIGHT (traced)."""
+    return jnp.where(cone_type == ConeTypes.LEFT, 1.0, -1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -61,7 +67,7 @@ def select_starting_cones(
         xy, car_position, car_direction,
         cfg.max_dist_to_first * 1.5, cfg.max_dist_to_first / 1.5,
     )
-    valid_sign = 1.0 if cone_type == ConeTypes.LEFT else -1.0
+    valid_sign = _left_sign(cone_type)
     sign_ok = jnp.sign(rel_angle) == valid_sign
     angle_ok = (jnp.abs(rel_angle) < jnp.pi - jnp.pi / 5) & (
         jnp.abs(rel_angle) > jnp.pi / 10
@@ -248,7 +254,7 @@ def _extension_gates(
         _cross2(car_direction, car_to_cand),
         jnp.sum(car_direction * car_to_cand, axis=-1),
     )
-    expected = 1.0 if cone_type == ConeTypes.LEFT else -1.0
+    expected = _left_sign(cone_type)
     side_gate = (jnp.sign(dsign) == expected) | (jnp.abs(dsign) < jnp.deg2rad(5.0))
     can = can & jnp.where((p == 0)[:, None], side_gate, True)
 
@@ -282,14 +288,10 @@ def _extension_gates(
     )  # (K, C) == angle_difference(atan2(seg_new), atan2(seg_prev))
     seg_len = jnp.linalg.norm(seg_new, axis=-1)
     abs_ok = jnp.abs(diff) <= cfg.threshold_absolute_angle
-    if cone_type == ConeTypes.LEFT:
-        directional = (diff < cfg.threshold_directional_angle) | (
-            seg_len < cfg.close_cone_dist
-        )
-    else:
-        directional = (diff > -cfg.threshold_directional_angle) | (
-            seg_len < cfg.close_cone_dist
-        )
+    # LEFT: diff < thr; RIGHT: diff > -thr  ==  sign*diff < thr
+    directional = (_left_sign(cone_type) * diff < cfg.threshold_directional_angle) | (
+        seg_len < cfg.close_cone_dist
+    )
     can = can & jnp.where((p >= 1)[:, None], abs_ok & directional, True)
 
     # 6. flip-kill, p >= 2 (:194-205)
@@ -390,7 +392,7 @@ def _beam_search_side(
             geo.vec_angle_between(cand_pos - first[:, None, :], car_direction),
             st.init_cost[:, None],
         )
-        unwanted = 1.0 if cone_type == ConeTypes.LEFT else -1.0
+        unwanted = _left_sign(cone_type)
         wrong_inc = jnp.where(
             (jnp.sign(diff) == unwanted) & (jnp.abs(diff) > jnp.deg2rad(40.0)), diff, 0.0
         )
@@ -679,8 +681,13 @@ def run_cone_sorting(
     `points` is the flattened (N, 3) [x, y, color] cone tensor. UNKNOWN-cone
     filtering (use_unknown_cones=False) is applied by the caller.
     """
-    left = sort_one_side(cfg, points, mask, ConeTypes.LEFT, car_position, car_direction)
-    right = sort_one_side(cfg, points, mask, ConeTypes.RIGHT, car_position, car_direction)
+    # both sides run as ONE vmapped search (cone_type is traced data):
+    # halves the sequential beam-step depth vs running the sides back-to-back
+    both = jax.vmap(
+        lambda ct: sort_one_side(cfg, points, mask, ct, car_position, car_direction)
+    )(jnp.asarray([ConeTypes.LEFT, ConeTypes.RIGHT], jnp.int32))
+    left = jax.tree.map(lambda x: x[0], both)
+    right = jax.tree.map(lambda x: x[1], both)
 
     left_cfg, right_cfg = combine_traces(points, left, right, car_position, car_direction)
 

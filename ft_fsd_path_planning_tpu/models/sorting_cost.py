@@ -98,7 +98,7 @@ def wrong_direction_cost(points_xy: Array, configs: Array, cone_type: int) -> Ar
     """|sum of over-threshold wrong-direction angle changes|
     (cost_function.py:149-188)."""
     diff, valid = _segment_angle_differences(points_xy, configs)
-    unwanted_sign = 1.0 if cone_type == ConeTypes.LEFT else -1.0
+    unwanted_sign = jnp.where(cone_type == ConeTypes.LEFT, 1.0, -1.0)
     mask = (jnp.sign(diff) == unwanted_sign) & (jnp.abs(diff) > jnp.deg2rad(40.0)) & valid
     total = jnp.sum(jnp.where(mask, diff, 0.0), axis=-1)
     n = jnp.sum(configs != -1, axis=-1)
@@ -124,8 +124,12 @@ def _config_search_directions(points_xy: Array, configs: Array, cone_type: int) 
 
     take = lambda idx: jnp.take_along_axis(pts, jnp.clip(idx, 0, l - 1)[..., None], axis=1)
     chord = take(b_idx) - take(a_idx)  # (C, L, 2)
-    rotation = jnp.pi / 2 if cone_type == ConeTypes.RIGHT else -jnp.pi / 2
-    return geo.normalize_last_axis(geo.rotate(chord, rotation))
+    # rotate +pi/2 (RIGHT): (x,y)->(-y,x); -pi/2 (LEFT): (x,y)->(y,-x)
+    sign = jnp.where(cone_type == ConeTypes.RIGHT, 1.0, -1.0)
+    rotated = jnp.stack(
+        [-sign * chord[..., 1], sign * chord[..., 0]], axis=-1
+    )
+    return geo.normalize_last_axis(rotated)
 
 
 def cones_on_side_cost(

@@ -38,7 +38,10 @@ N_COEF = N_INTERVALS + 3
 
 _LOG_LAM_LO = -7.0
 _LOG_LAM_HI = 3.5
-_BISECT_ITERS = 20
+# lambda grid resolution: the penalty weight is searched over a fixed log
+# grid solved as ONE batched Cholesky (serial depth 1) instead of a
+# sequential bisection — the TPU answer to FITPACK's iterative knot search
+_LAM_GRID = 32
 
 
 def _difference_penalty(order: int) -> np.ndarray:
@@ -174,43 +177,38 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     rhs = jnp.matmul(basis.T, y, precision=jax.lax.Precision.HIGHEST)
     omega = jnp.asarray(_OMEGA, points.dtype)
 
-    # scale lambda by the gram trace so bisection bounds are data-independent
+    # scale lambda by the gram trace so the grid bounds are data-independent
     scale = jnp.trace(gram) / N_COEF + 1e-12
-
-    def solve(log_lam: Array) -> Array:
-        lam = 10.0**log_lam * scale
-        a = gram + lam * omega
-        chol = jnp.linalg.cholesky(a)
-        c = jax.scipy.linalg.cho_solve((chol, True), rhs)
-        return c
 
     def ssr_of(c: Array) -> Array:
         resid = (jnp.matmul(bspline_basis(t), c) - points) * w[:, None]
-        return jnp.sum(resid * resid)
+        return jnp.sum(resid * resid, axis=(-2, -1))
 
     s_budget = jnp.asarray(smoothing, points.dtype)
 
-    def bisect_body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        ssr = ssr_of(solve(mid))
-        # ssr increases with lambda; keep ssr <= s on the lo side
-        lo = jnp.where(ssr <= s_budget, mid, lo)
-        hi = jnp.where(ssr <= s_budget, hi, mid)
-        return lo, hi
+    # one batched Cholesky over the whole lambda grid (serial depth 1)
+    log_lams = jnp.linspace(_LOG_LAM_LO, _LOG_LAM_HI, _LAM_GRID, dtype=points.dtype)
+    lams = 10.0**log_lams * scale
+    a = gram[None, :, :] + lams[:, None, None] * omega[None, :, :]
+    chol = jnp.linalg.cholesky(a)
+    c_grid = jax.scipy.linalg.cho_solve((chol, True), jnp.broadcast_to(
+        rhs, (_LAM_GRID,) + rhs.shape
+    ))  # (G, C, 2)
 
-    lo0 = jnp.asarray(_LOG_LAM_LO, points.dtype)
-    hi0 = jnp.asarray(_LOG_LAM_HI, points.dtype)
+    ssr_grid = ssr_of(c_grid)  # (G,)
+    # FITPACK contract: the smoothest spline whose SSR is within the budget =
+    # the largest lambda with ssr <= s; if none satisfies it, the smallest
+    # lambda (closest to interpolation)
+    within = ssr_grid <= s_budget
+    best = jnp.where(jnp.any(within), _LAM_GRID - 1 - jnp.argmax(within[::-1]), 0)
+    c_grid_best = c_grid[best]
 
     # FITPACK's "no interior knots needed" case: when a single cubic satisfies
     # the budget, use it exactly (also sidesteps large-lambda conditioning)
     c_cubic = _fit_single_cubic(t, points, w, jnp.sum(mask))
     cubic_ok = ssr_of(c_cubic) <= s_budget
 
-    lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, bisect_body, (lo0, hi0))
-    c_bisect = solve(lo)
-
-    c_final = jnp.where(cubic_ok, c_cubic, c_bisect)
+    c_final = jnp.where(cubic_ok, c_cubic, c_grid_best)
     c_final = jnp.where(jnp.isfinite(c_final), c_final, 0.0)
     return SplineFit(coef=c_final, u_max=u_max, ok=ok)
 
