@@ -447,6 +447,13 @@ def run_path_calculation(
     n_dense = jnp.where(too_far, h, n_dense)
 
     # ---- MPC chain (:336-378)
+    # early behind-car trim: the global-path branch can fill the whole dense
+    # buffer (car sits at 1/3 of a 60 m window), leaving no room for the
+    # connect/extend steps. Points strictly before the closest-to-car sample
+    # are removed by _remove_path_behind_car later anyway, so dropping them
+    # first is semantics-preserving and frees buffer headroom.
+    dense, n_dense = _remove_path_behind_car(dense, n_dense, inp.position)
+
     p1, n1 = _connect_path_to_car(dense, n_dense, inp.position, inp.direction)
     p2, n2 = _extend_path(p1, n1, inp.position, inp.direction, cfg.path.mpc_path_length)
     p3, n3 = _remove_path_behind_car(p2, n2, inp.position)

@@ -1,0 +1,95 @@
+"""Mission-specific end-to-end tests: acceleration, EBS, global-path
+trackdrive, colorless pipeline."""
+
+import numpy as np
+import pytest
+
+from ft_fsd_path_planning_tpu import ConeTypes, MissionTypes, PathPlanner
+from tests.reference_oracle import load_reference
+from tests.test_pathing import path_parity_deviation
+
+ref_pkg = load_reference()
+
+
+def accel_frames(n_frames=6):
+    """Straight corridor of cone rows like the acceleration track."""
+    rng = np.random.default_rng(0)
+    xs = np.arange(-5.0, 40.0, 4.0)
+    left = np.stack([xs, np.full_like(xs, 1.6)], axis=1)
+    right = np.stack([xs, np.full_like(xs, -1.6)], axis=1)
+    left = left + rng.normal(0, 0.03, left.shape)
+    right = right + rng.normal(0, 0.03, right.shape)
+    frames = []
+    for t in range(n_frames):
+        cones = [np.zeros((0, 2)) for _ in range(5)]
+        cones[ConeTypes.LEFT] = left
+        cones[ConeTypes.RIGHT] = right
+        frames.append((cones, np.array([t * 1.5, 0.0]), np.array([1.0, 0.0])))
+    return frames
+
+
+@pytest.mark.parametrize("mission", ["acceleration", "ebs_test"])
+def test_acceleration_like_mission(mission):
+    ref_planner = ref_pkg.PathPlanner(getattr(ref_pkg.MissionTypes, mission))
+    our_planner = PathPlanner(getattr(MissionTypes, mission))
+
+    for cones, pos, direction in accel_frames():
+        ref_out = ref_planner.calculate_path_in_global_frame(
+            [c.copy() for c in cones], pos.copy(), direction.copy()
+        )
+        our_out = our_planner.calculate_path_in_global_frame(cones, pos, direction)
+        assert our_out.shape == (40, 4)
+        assert np.all(np.isfinite(our_out))
+
+    assert (ref_planner.relocalization_info is None) == (
+        our_planner.relocalization_info is None
+    )
+    if our_planner.relocalization_info is not None:
+        ref_info = ref_planner.relocalization_info
+        our_info = our_planner.relocalization_info
+        np.testing.assert_allclose(
+            our_info.translation, ref_info.translation, atol=0.3
+        )
+        assert abs(our_info.rotation - ref_info.rotation) < 0.1
+
+
+def test_trackdrive_with_global_path():
+    """set_global_path drives the global-path centerline branch."""
+    from tests.test_pipeline_parity import corridor_frames
+
+    # closed-loop-ish circular global path
+    ang = np.linspace(0, 2 * np.pi, 700, endpoint=False)
+    radius = 30.0
+    global_path = radius * np.stack([np.sin(ang), 1 - np.cos(ang)], axis=1)
+
+    ref_planner = ref_pkg.PathPlanner(ref_pkg.MissionTypes.trackdrive)
+    our_planner = PathPlanner(MissionTypes.trackdrive)
+    ref_planner.set_global_path(global_path.copy())
+    our_planner.set_global_path(global_path)
+
+    for cones, pos, direction in corridor_frames(n_frames=3, curv=0.0):
+        ref_out = ref_planner.calculate_path_in_global_frame(
+            [c.copy() for c in cones], pos.copy(), direction.copy()
+        )
+        our_out = our_planner.calculate_path_in_global_frame(cones, pos, direction)
+        dev = path_parity_deviation(ref_out, our_out)
+        assert dev < 0.1, f"deviation {dev:.3f} m"
+
+
+def test_colorless_full_pipeline():
+    from tests.test_pipeline_parity import corridor_frames
+
+    ref_planner = ref_pkg.PathPlanner(ref_pkg.MissionTypes.trackdrive)
+    our_planner = PathPlanner(MissionTypes.trackdrive)
+
+    for cones, pos, direction in corridor_frames(n_frames=3, curv=0.5):
+        colorless = [np.zeros((0, 2)) for _ in range(5)]
+        colorless[ConeTypes.UNKNOWN] = np.vstack(
+            [cones[ConeTypes.LEFT], cones[ConeTypes.RIGHT]]
+        )
+        ref_out = ref_planner.calculate_path_in_global_frame(
+            [c.copy() for c in colorless], pos.copy(), direction.copy()
+        )
+        our_out = our_planner.calculate_path_in_global_frame(colorless, pos, direction)
+        dev = path_parity_deviation(ref_out, our_out)
+        assert dev < 0.08, f"deviation {dev:.3f} m"
