@@ -417,23 +417,20 @@ def run_path_calculation(
     # ---- fit + densify (fit_matches_as_spline, with skidpad override)
     new_index_along_path = state.index_along_path
     if cfg.mission.name == "skidpad":
-        dense, n_dense, fit_ok, new_index_along_path = _skidpad_path_update(
+        dense, n_dense, _, new_index_along_path = _skidpad_path_update(
             cfg, gp, state, inp.position, inp.direction
         )
     else:
-        dense, n_dense, fit_ok = _fit_and_densify(
-            cfg, camc_pts, camc_mask, cfg.path.smoothing
-        )
-
-    # splprep failure -> fit previous path instead (:207-223)
-    prev_dense, prev_n_dense, _ = _fit_and_densify(
-        cfg,
-        jnp.zeros((cl, 2), dense.dtype).at[: prev_xy.shape[0]].set(prev_xy),
-        jnp.arange(cl) < prev_xy.shape[0],
-        cfg.path.smoothing,
-    )
-    dense = jnp.where(fit_ok, dense, prev_dense)
-    n_dense = jnp.where(fit_ok, n_dense, prev_n_dense)
+        # splprep failure -> fit previous path instead (:207-223). The
+        # failure condition (duplicate consecutive points / too few points)
+        # is known from the chord parameterization BEFORE solving, so the
+        # fallback is an input select rather than a second spline fit.
+        _, _, camc_fit_ok = sp.chord_lengths(camc_pts, camc_mask)
+        prev_pts = jnp.zeros((cl, 2), camc_pts.dtype).at[: prev_xy.shape[0]].set(prev_xy)
+        prev_m = jnp.arange(cl) < prev_xy.shape[0]
+        fit_pts = jnp.where(camc_fit_ok, camc_pts, prev_pts)
+        fit_mask = jnp.where(camc_fit_ok, camc_mask, prev_m)
+        dense, n_dense, _ = _fit_and_densify(cfg, fit_pts, fit_mask, cfg.path.smoothing)
 
     # ---- overwrite if too far from the car (:225-237) -> raw previous points
     dense_valid = jnp.arange(d) < n_dense

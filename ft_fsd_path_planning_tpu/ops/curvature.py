@@ -3,8 +3,10 @@
 Re-design of the reference's Numba curvature kernel
 (`calculate_path/path_parameterization.py:49-108`) and its
 `scipy.ndimage.uniform_filter1d` smoothing (:185-193): per-sample sliding
-windows become a static (P, W) gather + one vmapped masked circle fit, the
-dynamic window size becomes a validity mask over a fixed W budget.
+windows become a stack of statically-shifted copies of the path (each
+`jnp.roll` is two slices + a concat — no gather traffic on TPU) with the
+dynamic window size expressed as a validity mask over a fixed W budget, plus
+one vmapped masked circle fit.
 """
 
 from __future__ import annotations
@@ -15,6 +17,19 @@ import jax.numpy as jnp
 from ft_fsd_path_planning_tpu.ops.geometry import circle_fit
 
 Array = jax.Array
+
+
+def _rolled_windows(values: Array, max_window: int) -> Array:
+    """(P, ...) -> (P, W, ...) with out[i, d] = values[(i - W//2 + d) mod P].
+
+    Static shifts only: each slice of the stack is a roll, which XLA lowers
+    to two contiguous slices and a concatenation — far cheaper on TPU than a
+    (P, W) gather. Wrapped entries must be masked by the caller.
+    """
+    half = max_window // 2
+    return jnp.stack(
+        [jnp.roll(values, half - d, axis=0) for d in range(max_window)], axis=1
+    )
 
 
 def path_curvature(
@@ -31,7 +46,7 @@ def path_curvature(
         points: (P, 2) dense path samples (padding after n_valid).
         n_valid: () number of valid samples.
         window_size: () odd window length (traced; <= max_window).
-        max_window: static window budget W.
+        max_window: static window budget W (odd).
 
     Returns:
         (P,) signed curvature (1/r, sign from local orientation), zeros on
@@ -39,16 +54,17 @@ def path_curvature(
     """
     p = points.shape[0]
     half = (window_size - 1) // 2
+    shalf = max_window // 2
 
     centers = jnp.arange(p)
     offs = jnp.arange(max_window)
-    # raw window indices centered at each sample, truncated at both path ends
+    # static window [i - W//2, i + W//2]; the dynamic window selects the
+    # central 2*half+1 slots; truncated at both path ends
     # (reference: cyclic windows + cut at the wrap discontinuity == clamping)
-    raw = centers[:, None] - half + offs[None, :]  # (P, W)
-    in_window = offs[None, :] < window_size
+    raw = centers[:, None] - shalf + offs[None, :]  # (P, W)
+    in_window = jnp.abs(offs[None, :] - shalf) <= half
     valid = (raw >= 0) & (raw < n_valid) & in_window & (centers[:, None] < n_valid)
-    idx = jnp.clip(raw, 0, p - 1)
-    win_pts = points[idx]  # (P, W, 2)
+    win_pts = _rolled_windows(points, max_window)  # (P, W, 2)
 
     circ = circle_fit(win_pts, valid)  # (P, 3)
     radius = jnp.clip(circ[:, 2], radius_min, radius_max)
@@ -82,15 +98,31 @@ def uniform_filter1d_nearest(
 
     scipy centers an even-sized window at offset -(size // 2): indices
     [i - size//2, i + size - size//2 - 1]; out-of-range indices clamp to the
-    edges (nearest). Padding slots (>= n_valid) are excluded by clamping to
-    the last valid sample.
+    edges (nearest), i.e. the first/last valid sample contribute once per
+    clamped slot. Expressed as a static rolled-window sum plus closed-form
+    edge corrections — no (P, W) gather.
     """
     p = values.shape[0]
     centers = jnp.arange(p)
     offs = jnp.arange(max_size)
-    raw = centers[:, None] - size // 2 + offs[None, :]
-    in_window = offs[None, :] < size
-    idx = jnp.clip(raw, 0, jnp.maximum(n_valid - 1, 0))
-    gathered = jnp.where(in_window, values[idx], 0.0)
-    out = jnp.sum(gathered, axis=1) / jnp.maximum(size, 1)
+    shalf = max_size // 2
+
+    vals_masked = jnp.where(centers < n_valid, values, 0.0)
+    win = _rolled_windows(vals_masked, max_size)  # (P, W)
+
+    # dynamic window [i - size//2, i - size//2 + size) in static slot space
+    lo_slot = shalf - size // 2
+    in_window = (offs[None, :] >= lo_slot) & (offs[None, :] < lo_slot + size)
+    raw = centers[:, None] - shalf + offs[None, :]
+    in_range = (raw >= 0) & (raw < n_valid)
+    body = jnp.sum(jnp.where(in_window & in_range, win, 0.0), axis=1)
+
+    # clamped-slot corrections: below-range slots read values[0], above-range
+    # slots read values[n_valid - 1]
+    n_below = jnp.clip(size // 2 - centers, 0, size)
+    n_above = jnp.clip(centers - size // 2 + size - 1 - (n_valid - 1), 0, size)
+    v_first = values[0]
+    v_last = values[jnp.clip(n_valid - 1, 0, p - 1)]
+
+    out = (body + n_below * v_first + n_above * v_last) / jnp.maximum(size, 1)
     return jnp.where(centers < n_valid, out, 0.0)

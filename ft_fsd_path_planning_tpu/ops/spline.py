@@ -30,6 +30,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ft_fsd_path_planning_tpu.ops.pallas.banded_cholesky import (
+    banded_cholesky_solve,
+    dense_to_band,
+)
+
 Array = jax.Array
 
 # number of uniform B-spline intervals on [0, 1]; C = N_INTERVALS + 3 coefs
@@ -37,7 +42,10 @@ N_INTERVALS = 48
 N_COEF = N_INTERVALS + 3
 
 _LOG_LAM_LO = -7.0
-_LOG_LAM_HI = 3.5
+# the upper end stops where f32 conditioning of gram + lam*Omega is still
+# sound (cond ~ lam * ||Omega|| / gram_min); the smoother-than-this regime is
+# covered exactly by the single-cubic fallback (_fit_single_cubic)
+_LOG_LAM_HI = 2.0
 # lambda grid resolution: the penalty weight is searched over a fixed log
 # grid solved as ONE batched Cholesky (serial depth 1) instead of a
 # sequential bisection — the TPU answer to FITPACK's iterative knot search
@@ -61,6 +69,53 @@ _OMEGA = (
     + 1e-7 * _difference_penalty(1)
     + 1e-9 * np.eye(N_COEF)
 )
+
+
+def _use_pallas_solver() -> bool:
+    """The Pallas lane-batched banded kernel runs on real TPU backends; the
+    CPU test mesh keeps XLA's dense Cholesky (pallas interpret mode would be
+    slower than dense there)."""
+    return jax.default_backend() != "cpu"
+
+
+def _band_matvec(band: Array, x: Array) -> Array:
+    """(G, C, BW) banded matrix times (G, C, R): y[i] = sum_d band[i,d] x[i-4+d]."""
+    g, c, bw = band.shape
+    half = (bw - 1) // 2
+    y = jnp.zeros_like(x)
+    for d in range(bw):
+        off = d - half
+        lo, hi = max(0, -off), c - max(0, off)
+        seg = band[:, lo:hi, d, None] * x[:, lo + off : hi + off]
+        y = y.at[:, lo:hi].add(seg)
+    return y
+
+
+@jax.custom_batching.custom_vmap
+def _banded_solve(band: Array, rhs: Array) -> Array:
+    """Solve the SPD banded systems (G, C, BW) @ x = (G, C, R).
+
+    custom_vmap collapses any number of outer `vmap` batch axes into the
+    kernel's lane-batched system axis — one pallas_call for the whole planner
+    batch instead of a per-frame grid. One round of iterative refinement
+    recovers the accuracy lost to f32 at the ill-conditioned (small-lambda)
+    end of the penalty grid."""
+    x = banded_cholesky_solve(band, rhs)
+    resid = rhs - _band_matvec(band, x)
+    return x + banded_cholesky_solve(band, resid)
+
+
+@_banded_solve.def_vmap
+def _banded_solve_vmap(axis_size, in_batched, band: Array, rhs: Array) -> tuple[Array, bool]:
+    band_b, rhs_b = in_batched
+    if not band_b:
+        band = jnp.broadcast_to(band[None], (axis_size,) + band.shape)
+    if not rhs_b:
+        rhs = jnp.broadcast_to(rhs[None], (axis_size,) + rhs.shape)
+    flat = _banded_solve(
+        band.reshape((-1,) + band.shape[2:]), rhs.reshape((-1,) + rhs.shape[2:])
+    )
+    return flat.reshape(rhs.shape), True
 
 
 class SplineFit(NamedTuple):
@@ -149,11 +204,19 @@ def _fit_single_cubic(t: Array, points: Array, w: Array, n_valid: Array) -> Arra
 
     xi = (jnp.arange(N_COEF, dtype=points.dtype) - 1.0) / N_INTERVALS
     h2_6 = (1.0 / N_INTERVALS) ** 2 / 6.0
-    p_xi = jnp.stack([jnp.ones_like(xi), xi, xi * xi, xi * xi * xi], axis=-1) @ a
-    ppp_xi = jnp.stack(
-        [jnp.zeros_like(xi), jnp.zeros_like(xi), 2.0 * jnp.ones_like(xi), 6.0 * xi],
-        axis=-1,
-    ) @ a
+    p_xi = jnp.matmul(
+        jnp.stack([jnp.ones_like(xi), xi, xi * xi, xi * xi * xi], axis=-1),
+        a,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    ppp_xi = jnp.matmul(
+        jnp.stack(
+            [jnp.zeros_like(xi), jnp.zeros_like(xi), 2.0 * jnp.ones_like(xi), 6.0 * xi],
+            axis=-1,
+        ),
+        a,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return p_xi - h2_6 * ppp_xi
 
 
@@ -181,27 +244,64 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     scale = jnp.trace(gram) / N_COEF + 1e-12
 
     def ssr_of(c: Array) -> Array:
-        resid = (jnp.matmul(bspline_basis(t), c) - points) * w[:, None]
+        # HIGHEST precision: the TPU default (bf16 inputs) would round the
+        # ~|coords| predictions by ~0.16 m, swamping the ~cm residuals
+        pred = jnp.matmul(bspline_basis(t), c, precision=jax.lax.Precision.HIGHEST)
+        resid = (pred - points) * w[:, None]
         return jnp.sum(resid * resid, axis=(-2, -1))
 
     s_budget = jnp.asarray(smoothing, points.dtype)
 
-    # one batched Cholesky over the whole lambda grid (serial depth 1)
+    # one batched solve over the whole lambda grid (serial depth 1)
     log_lams = jnp.linspace(_LOG_LAM_LO, _LOG_LAM_HI, _LAM_GRID, dtype=points.dtype)
     lams = 10.0**log_lams * scale
     a = gram[None, :, :] + lams[:, None, None] * omega[None, :, :]
-    chol = jnp.linalg.cholesky(a)
-    c_grid = jax.scipy.linalg.cho_solve((chol, True), jnp.broadcast_to(
-        rhs, (_LAM_GRID,) + rhs.shape
-    ))  # (G, C, 2)
+    if _use_pallas_solver():
+        # the system is banded (half-bandwidth 4: cubic basis overlap 3,
+        # 4th-difference penalty 4) -> Pallas lane-batched banded Cholesky
+        c_grid = _banded_solve(
+            dense_to_band(a), jnp.broadcast_to(rhs, (_LAM_GRID,) + rhs.shape)
+        )  # (G, C, 2)
+    else:
+        chol = jnp.linalg.cholesky(a)
+        c_grid = jax.scipy.linalg.cho_solve((chol, True), jnp.broadcast_to(
+            rhs, (_LAM_GRID,) + rhs.shape
+        ))  # (G, C, 2)
 
     ssr_grid = ssr_of(c_grid)  # (G,)
+    # true SSR(lam) is nondecreasing; running-max removes spurious dips from
+    # ill-conditioned solves so they can never be selected
+    ssr_grid = jax.lax.cummax(ssr_grid)
     # FITPACK contract: the smoothest spline whose SSR is within the budget =
     # the largest lambda with ssr <= s; if none satisfies it, the smallest
     # lambda (closest to interpolation)
     within = ssr_grid <= s_budget
     best = jnp.where(jnp.any(within), _LAM_GRID - 1 - jnp.argmax(within[::-1]), 0)
     c_grid_best = c_grid[best]
+
+    # refine inside the bracketing grid cell [lam_best, lam_best+1]: SSR(lam)
+    # is monotone, so log-interpolate the s-crossing and re-solve once. This
+    # keeps the selected smoothing continuous in the inputs (a hard grid
+    # threshold flips a whole cell on 1-ulp SSR changes) and lands SSR ~= s,
+    # FITPACK's own stopping rule (spline_fit.py:117-124).
+    have_bracket = jnp.any(within) & ~within[-1]
+    hi = jnp.minimum(best + 1, _LAM_GRID - 1)
+    ssr_lo = jnp.maximum(ssr_grid[best], 1e-20)
+    ssr_hi = jnp.maximum(ssr_grid[hi], ssr_lo * (1.0 + 1e-6))
+    frac = (jnp.log(jnp.maximum(s_budget, 1e-20)) - jnp.log(ssr_lo)) / (
+        jnp.log(ssr_hi) - jnp.log(ssr_lo)
+    )
+    frac = jnp.clip(jnp.where(jnp.isfinite(frac), frac, 0.0), 0.0, 1.0)
+    log_lam_star = log_lams[best] + frac * (log_lams[hi] - log_lams[best])
+    lam_star = 10.0**log_lam_star * scale
+    a_star = gram + lam_star * omega
+    if _use_pallas_solver():
+        c_star = _banded_solve(dense_to_band(a_star)[None], rhs[None])[0]
+    else:
+        chol_star = jnp.linalg.cholesky(a_star)
+        c_star = jax.scipy.linalg.cho_solve((chol_star, True), rhs)
+    use_star = have_bracket & (ssr_of(c_star) <= s_budget)
+    c_grid_best = jnp.where(use_star, c_star, c_grid_best)
 
     # FITPACK's "no interior knots needed" case: when a single cubic satisfies
     # the budget, use it exactly (also sidesteps large-lambda conditioning)
