@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ft_fsd_path_planning_tpu.config import PlannerConfig, SortingConfig
 from ft_fsd_path_planning_tpu.models import sorting_cost
+from ft_fsd_path_planning_tpu.ops import gatherless as gl
 from ft_fsd_path_planning_tpu.ops import geometry as geo
 from ft_fsd_path_planning_tpu.utils.cone_types import ConeTypes
 
@@ -119,10 +120,16 @@ def build_adjacency(
     mask: Array,
     cone_type: int,
     start_idx: Array,
-) -> tuple[Array, Array]:
+) -> tuple[Array, Array, Array]:
     """Masked k-NN adjacency, symmetrized; returns (adj (N,N) bool,
-    target_length ())."""
+    node_table (N, 4C) f32, target_length ()).
+
+    The node table packs, per cone, its <=C surviving neighbors as
+    [idx | ok | x | y] so the beam step can expand a whole beam front with a
+    single one-hot contraction (see ops/gatherless.py) instead of gathers.
+    """
     n = points.shape[0]
+    c = cfg.max_n_neighbors
     xy = points[:, :2]
     color = points[:, 2]
 
@@ -137,10 +144,9 @@ def build_adjacency(
     )
     d2 = jnp.where(bad, _INF, d2)
 
-    _, knn = jax.lax.top_k(-d2, cfg.max_n_neighbors)
-    adj = jnp.zeros((n, n), bool)
-    rows = jnp.arange(n)[:, None]
-    adj = adj.at[rows, knn].set(True)
+    _, knn = jax.lax.top_k(-d2, c)
+    # one-hot membership instead of scatter (TPU scatters hit the slow path)
+    adj = jnp.any(knn[:, :, None] == jnp.arange(n)[None, None, :], axis=1)
     adj = adj & (d2 <= cfg.max_dist**2)
     adj = adj & adj.T
 
@@ -154,10 +160,19 @@ def build_adjacency(
     # compressed neighbor lists: after AND-symmetrization each node keeps at
     # most max_n_neighbors edges, so the beam search only ever scores
     # (K, max_n_neighbors) candidates instead of (K, N)
-    nb_vals, nb_idx = jax.lax.top_k(adj.astype(jnp.int32), cfg.max_n_neighbors)
-    neighbor_idx = nb_idx.astype(jnp.int32)
+    nb_vals, nb_idx = jax.lax.top_k(adj.astype(jnp.int32), c)
     neighbor_ok = nb_vals > 0
-    return adj, neighbor_idx, neighbor_ok, target_length
+    nb_pos = gl.take_rows(xy, nb_idx.reshape(-1)).reshape(n, c, 2)
+    node_table = jnp.concatenate(
+        [
+            nb_idx.astype(jnp.float32),
+            neighbor_ok.astype(jnp.float32),
+            nb_pos[:, :, 0],
+            nb_pos[:, :, 1],
+        ],
+        axis=1,
+    )
+    return adj, node_table, target_length
 
 
 # ---------------------------------------------------------------------------
@@ -176,6 +191,14 @@ class _BeamState(NamedTuple):
     residual: Array  # (K,) sum residual distances
     init_cost: Array  # (K,) initial-direction cost
     wrong_sum: Array  # (K,) signed wrong-direction accumulator
+    # carried positional tail — keeps the hot loop free of config gathers
+    # (the clip-indexing semantics of the old tail() reads reduce to a pure
+    # shift: on extension last'=child, prev'=last, prev2'=prev)
+    last_idx: Array  # (K,) int32 cone index of the tail element
+    last_pos: Array  # (K, 2)
+    prev_pos: Array  # (K, 2)
+    prev2_pos: Array  # (K, 2)
+    first_pos: Array  # (K, 2)
 
 
 def _partial_score(cfg: SortingConfig, st: _BeamState) -> Array:
@@ -199,45 +222,33 @@ def _cross2(a: Array, b: Array) -> Array:
 
 def _extension_gates(
     cfg: SortingConfig,
-    xy: Array,
-    neighbor_idx: Array,
-    neighbor_ok: Array,
+    cand: Array,
+    cand_idx: Array,
+    can0: Array,
     st: _BeamState,
     cone_type: int,
     car_position: Array,
     car_direction: Array,
-) -> tuple[Array, Array, Array, Array, Array]:
-    """All DFS pruning gates (end_configurations.py:109-223) on the gathered
+) -> tuple[Array, Array, Array, Array]:
+    """All DFS pruning gates (end_configurations.py:109-223) on the expanded
     (K, C) candidate set, C = max_n_neighbors.
 
     After AND-symmetrization every node has <= C neighbors, so scoring (K, C)
-    gathered candidates is exact — and every angular threshold is evaluated
-    through cos/cross comparisons so the hot loop has (almost) no
-    transcendentals. Returns (can (K,C), cand_idx (K,C), theta, seg_len,
-    diff) with theta/diff as real angles for the cost carries.
+    candidates is exact — every angular threshold is evaluated through
+    cos/cross comparisons, and all tail positions come from the carried beam
+    state, so the hot loop has no gathers and (almost) no transcendentals.
+    Returns (can (K,C), theta, seg_len, diff) with theta/diff as real angles
+    for the cost carries.
     """
     k, l = st.configs.shape
-    n = xy.shape[0]
 
-    def tail(off):
-        return jnp.take_along_axis(
-            st.configs, jnp.maximum(st.lengths - off, 0)[:, None], axis=1
-        )[:, 0]
-
-    last_idx, prev_idx, prev2_idx = tail(1), tail(2), tail(3)
-    last = xy[jnp.clip(last_idx, 0, n - 1)]  # (K, 2)
-    prev = xy[jnp.clip(prev_idx, 0, n - 1)]
-    prev2 = xy[jnp.clip(prev2_idx, 0, n - 1)]
-    first = xy[jnp.clip(st.configs[:, 0], 0, n - 1)]
+    last, prev, prev2 = st.last_pos, st.prev_pos, st.prev2_pos  # (K, 2)
+    first = st.first_pos
     p = st.lengths - 1  # position_in_stack of the last element
-
-    cand_idx = neighbor_idx[jnp.clip(last_idx, 0, n - 1)]  # (K, C)
-    can = neighbor_ok[jnp.clip(last_idx, 0, n - 1)]
-    cand = xy[cand_idx]  # (K, C, 2)
 
     # 1. not already in config
     in_config = jnp.any(cand_idx[:, :, None] == st.configs[:, None, :], axis=-1)
-    can = can & ~in_config
+    can = can0 & ~in_config
 
     # 2. ellipse gate, p >= 1 (:282-300) — rotation via the normalized major
     # direction, no trig
@@ -261,7 +272,7 @@ def _extension_gates(
     # 4. no cone skipped between last and candidate (:227-257): any *other*
     # neighbor m of `last` with both distances < 6 and angle at m > 150 deg
     pos_m = cand  # the m set == the neighbor set of `last`
-    m_ok = neighbor_ok[jnp.clip(last_idx, 0, n - 1)]
+    m_ok = can0
     v_ml = last[:, None, :] - pos_m  # (K, M, 2)
     v_mc = cand[:, :, None, :] - pos_m[:, None, :, :]  # (K, C, M, 2)
     d_ml = jnp.linalg.norm(v_ml, axis=-1)  # (K, M)
@@ -317,7 +328,7 @@ def _extension_gates(
 
     # interior-angle increment for the scoring update: angle at `last`
     theta = geo.vec_angle_between(prev[:, None, :] - last[:, None, :], seg_new)
-    return can, cand_idx, theta, seg_len, diff
+    return can, theta, seg_len, diff
 
 
 def _beam_search_side(
@@ -330,47 +341,65 @@ def _beam_search_side(
     n_first: Array,
     car_position: Array,
     car_direction: Array,
-    neighbor_idx: Array,
-    neighbor_ok: Array,
+    node_table: Array,
     target_length: Array,
 ) -> tuple[Array, Array]:
-    """Run the beam search; returns (configs (K, L), pool_valid (K,))."""
+    """Run the beam search; returns (configs (K, L), pool_valid (K,)).
+
+    Gather-free hot loop: on this TPU target a general `gather` HLO lowers to
+    a ~0.5 ms scalar-core loop regardless of size (profiled r2), so ~20
+    gathers/iter made the loop ~100 ms. Instead (a) the beam front expands via
+    one one-hot contraction against the packed per-node neighbor table, and
+    (b) the top-k re-selection reads ALL survivor state through a single
+    one-hot matmul over a packed (K + K*C, F) pool-feature matrix.
+    """
     n = points.shape[0]
     k = beam_width
     l = cfg.max_length
+    c = cfg.max_n_neighbors
     xy = points[:, :2]
 
     configs0 = jnp.full((k, l), -1, jnp.int32)
     configs0 = configs0.at[0, 0].set(prefix[0])
     configs0 = configs0.at[0, 1].set(jnp.where(n_first >= 2, prefix[1], -1))
 
+    # start positions (prefix[1] == -1 reads a zero row; unused when n_first<2)
+    p0 = gl.take_rows(xy, prefix)  # (2, 2)
     init_cost0 = jnp.where(
-        n_first >= 2,
-        geo.vec_angle_between(
-            xy[jnp.clip(prefix[1], 0, n - 1)] - xy[jnp.clip(prefix[0], 0, n - 1)],
-            car_direction,
-        ),
-        0.0,
+        n_first >= 2, geo.vec_angle_between(p0[1] - p0[0], car_direction), 0.0
     )
+    last_idx0 = jnp.where(n_first >= 2, prefix[1], prefix[0])
+    last0 = jnp.where(n_first >= 2, p0[1], p0[0])
+    slot0 = jnp.arange(k) == 0
+    at0 = lambda v: jnp.where(slot0[:, None], v[None, :], 0.0)
 
     st = _BeamState(
         configs=configs0,
-        lengths=jnp.where(jnp.arange(k) == 0, n_first, 0).astype(jnp.int32),
-        alive=(jnp.arange(k) == 0) & (n_first >= 1),
+        lengths=jnp.where(slot0, n_first, 0).astype(jnp.int32),
+        alive=slot0 & (n_first >= 1),
         done=jnp.zeros(k, bool),
         angle_sum=jnp.zeros(k),
         n_under=jnp.zeros(k, jnp.int32),
         residual=jnp.zeros(k),
-        init_cost=jnp.where(jnp.arange(k) == 0, init_cost0, 0.0),
+        init_cost=jnp.where(slot0, init_cost0, 0.0),
         wrong_sum=jnp.zeros(k),
+        last_idx=jnp.where(slot0, last_idx0, -1).astype(jnp.int32),
+        last_pos=at0(last0),
+        prev_pos=at0(p0[0]),
+        prev2_pos=at0(p0[0]),
+        first_pos=at0(p0[0]),
     )
 
-    c = cfg.max_n_neighbors
-
     def step(_, st: _BeamState) -> _BeamState:
-        can, cand_idx, theta, seg_len, diff = _extension_gates(
-            cfg, xy, neighbor_idx, neighbor_ok, st, cone_type,
-            car_position, car_direction,
+        # expand the whole beam front with ONE one-hot contraction:
+        # node_table row = [idx | ok | x | y], each block of width C
+        row = gl.take_rows(node_table, st.last_idx)  # (K, 4C)
+        cand_idx = jnp.round(row[:, :c]).astype(jnp.int32)  # (K, C)
+        can0 = row[:, c : 2 * c] > 0.5
+        cand = jnp.stack([row[:, 2 * c : 3 * c], row[:, 3 * c :]], axis=-1)  # (K,C,2)
+
+        can, theta, seg_len, diff = _extension_gates(
+            cfg, cand, cand_idx, can0, st, cone_type, car_position, car_direction
         )
         expandable = st.alive & ~st.done & (st.lengths < target_length)
         can = can & expandable[:, None]
@@ -385,11 +414,9 @@ def _beam_search_side(
             add_interior & (theta < jnp.deg2rad(40.0))
         ).astype(jnp.int32)
         c_residual = st.residual[:, None] + jnp.maximum(0.0, seg_len - 3.0)
-        first = xy[jnp.clip(st.configs[:, 0], 0, n - 1)]
-        cand_pos = xy[cand_idx]
         c_init = jnp.where(
             (p == 0)[:, None],
-            geo.vec_angle_between(cand_pos - first[:, None, :], car_direction),
+            geo.vec_angle_between(cand - st.first_pos[:, None, :], car_direction),
             st.init_cost[:, None],
         )
         unwanted = _left_sign(cone_type)
@@ -416,36 +443,77 @@ def _beam_search_side(
         frozen = st.alive & (done | ~expandable)
         parent_score = jnp.where(frozen, _partial_score(cfg, st), _INF)
 
-        # pool: K frozen parents + K*C children -> best K
+        # pool: K frozen parents + K*C children -> best K. All per-survivor
+        # state is packed into one float feature matrix and re-selected with
+        # a single one-hot matmul (indices/lengths < 2**24 are exact in f32).
+        child_configs = jnp.where(
+            jnp.arange(l)[None, None, :] == st.lengths[:, None, None],
+            cand_idx[:, :, None],
+            st.configs[:, None, :],
+        )  # (K, C, L)
+        f32 = lambda a: a.astype(jnp.float32)
+        col = lambda a: f32(a)[:, None]
+        ccol = lambda a: f32(a)[..., None]
+        bc = lambda a: jnp.broadcast_to(a[:, None, :], (k, c, 2))
+        parent_feats = jnp.concatenate(
+            [
+                f32(st.configs),
+                col(st.lengths),
+                col(done),
+                col(st.angle_sum),
+                col(st.n_under),
+                col(st.residual),
+                col(st.init_cost),
+                col(st.wrong_sum),
+                col(st.last_idx),
+                st.last_pos,
+                st.prev_pos,
+                st.prev2_pos,
+                st.first_pos,
+            ],
+            axis=1,
+        )  # (K, L+16)
+        child_feats = jnp.concatenate(
+            [
+                f32(child_configs),
+                jnp.broadcast_to(ccol(c_len), (k, c, 1)),
+                jnp.zeros((k, c, 1)),  # done
+                ccol(c_angle_sum),
+                ccol(c_n_under),
+                ccol(c_residual),
+                ccol(c_init),
+                ccol(c_wrong),
+                ccol(cand_idx),  # last_idx'
+                cand,  # last_pos'
+                bc(st.last_pos),  # prev'
+                bc(st.prev_pos),  # prev2'
+                bc(st.first_pos),
+            ],
+            axis=-1,
+        ).reshape(k * c, -1)
+
+        pool_feats = jnp.concatenate([parent_feats, child_feats], axis=0)
         pool_scores = jnp.concatenate([parent_score, c_score.reshape(-1)])
-        _, sel = jax.lax.top_k(-pool_scores, k)
-        is_parent = sel < k
-        parent_of = jnp.where(is_parent, sel, (sel - k) // c)
-        child_slot = jnp.where(is_parent, 0, (sel - k) % c).astype(jnp.int32)
-        child_cone = cand_idx[parent_of, child_slot]
-        sel_valid = jnp.isfinite(pool_scores[sel])
+        neg_best, sel = jax.lax.top_k(-pool_scores, k)
+        sel_valid = jnp.isfinite(neg_best)
+        feats = gl.take_rows(pool_feats, sel)  # (K, L+16)
 
-        g = lambda arr: arr[parent_of]
-        new_configs = g(st.configs)
-        write_pos = jnp.clip(g(st.lengths), 0, l - 1)
-        appended = jnp.where(
-            (jnp.arange(l)[None, :] == write_pos[:, None]) & ~is_parent[:, None],
-            child_cone[:, None],
-            new_configs,
-        )
-        ext = ~is_parent & sel_valid
-        pick = lambda child_val, parent_val: jnp.where(ext, child_val, parent_val)
-
+        iround = lambda a: jnp.round(a).astype(jnp.int32)
         return _BeamState(
-            configs=jnp.where(sel_valid[:, None], appended, -1),
-            lengths=jnp.where(sel_valid, g(st.lengths) + ext, 0).astype(jnp.int32),
+            configs=jnp.where(sel_valid[:, None], iround(feats[:, :l]), -1),
+            lengths=jnp.where(sel_valid, iround(feats[:, l]), 0),
             alive=sel_valid,
-            done=jnp.where(ext, False, g(done)) & sel_valid,
-            angle_sum=pick(c_angle_sum[parent_of, child_slot], g(st.angle_sum)),
-            n_under=pick(c_n_under[parent_of, child_slot], g(st.n_under)),
-            residual=pick(c_residual[parent_of, child_slot], g(st.residual)),
-            init_cost=pick(c_init[parent_of, child_slot], g(st.init_cost)),
-            wrong_sum=pick(c_wrong[parent_of, child_slot], g(st.wrong_sum)),
+            done=(feats[:, l + 1] > 0.5) & sel_valid,
+            angle_sum=feats[:, l + 2],
+            n_under=iround(feats[:, l + 3]),
+            residual=feats[:, l + 4],
+            init_cost=feats[:, l + 5],
+            wrong_sum=feats[:, l + 6],
+            last_idx=jnp.where(sel_valid, iround(feats[:, l + 7]), -1),
+            last_pos=feats[:, l + 8 : l + 10],
+            prev_pos=feats[:, l + 10 : l + 12],
+            prev2_pos=feats[:, l + 12 : l + 14],
+            first_pos=feats[:, l + 14 : l + 16],
         )
 
     st = jax.lax.fori_loop(0, l - 1, step, st)
@@ -519,13 +587,13 @@ def sort_one_side(
     enough_cones = jnp.sum(mask) >= 3
     startable = (n_first >= 1) & enough_cones
 
-    adj, neighbor_idx, neighbor_ok, target_length = build_adjacency(
+    adj, node_table, target_length = build_adjacency(
         s, points, mask, cone_type, prefix[0]
     )
 
     configs, valid = _beam_search_side(
         s, k, points, mask, cone_type, prefix, n_first,
-        car_position, car_direction, neighbor_idx, neighbor_ok, target_length,
+        car_position, car_direction, node_table, target_length,
     )
     configs, valid = _postfilter_pool(points, configs, valid, cone_type)
     valid = valid & startable

@@ -1,0 +1,56 @@
+"""Gather-free lookup primitives.
+
+On this TPU target, XLA lowers general batched `gather` HLOs to a scalar-core
+loop (~2 GB/s effective — profiled at 0.4-0.7 ms per op regardless of size,
+see BENCH notes). Every dynamic lookup on the hot path therefore goes through
+these helpers, which express the lookup as a one-hot contraction: the compare
+fuses into the surrounding computation and the contraction rides the MXU.
+
+`precision=HIGHEST` keeps the selection exact in float32 (a one-hot row picks
+out exactly one table row; the 0/1 weights are exact in every MXU pass mode,
+and HIGHEST accumulates the payload at f32 fidelity).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def take_rows(table: Array, idx: Array) -> Array:
+    """table (..., N, F) float, idx (..., K) int -> (..., K, F).
+
+    Out-of-range indices (e.g. -1 padding) return zero rows instead of
+    clamping — callers mask those slots anyway.
+    """
+    n = table.shape[-2]
+    oh = (idx[..., None] == jnp.arange(n)).astype(table.dtype)
+    return jnp.einsum("...kn,...nf->...kf", oh, table, precision=_HI)
+
+
+def take_vec(values: Array, idx: Array) -> Array:
+    """values (..., N) float, idx (..., K) int -> (..., K)."""
+    n = values.shape[-1]
+    oh = (idx[..., None] == jnp.arange(n)).astype(values.dtype)
+    return jnp.einsum("...kn,...n->...k", oh, values, precision=_HI)
+
+
+def take_int_rows(table: Array, idx: Array) -> Array:
+    """Integer-payload variant of take_rows; exact for |values| < 2**24."""
+    out = take_rows(table.astype(jnp.float32), idx)
+    return jnp.round(out).astype(table.dtype)
+
+
+def select_slot(values: Array, slot: Array) -> Array:
+    """values (..., K, C, V), slot (..., K) int in [0, C) -> (..., K, V).
+
+    Per-row slot selection (the `x[row, slot[row]]` pattern) as a one-hot
+    reduce over the slot axis.
+    """
+    c = values.shape[-2]
+    oh = (slot[..., None] == jnp.arange(c)).astype(values.dtype)
+    return jnp.einsum("...kc,...kcv->...kv", oh, values, precision=_HI)

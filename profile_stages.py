@@ -114,11 +114,11 @@ def main():
                 s = cfg.sorting
                 prefix, n_first = sorting.select_starting_cones(
                     s, pts, msk, ct, frame.position, frame.direction)
-                adj, nb_i, nb_ok, tl = sorting.build_adjacency(
+                adj, node_table, tl = sorting.build_adjacency(
                     s, pts, msk, ct, prefix[0])
                 return sorting._beam_search_side(
                     s, s.beam_width, pts, msk, ct, prefix, n_first,
-                    frame.position, frame.direction, nb_i, nb_ok, tl)
+                    frame.position, frame.direction, node_table, tl)
             return jax.vmap(side)(jnp.asarray([2, 1], jnp.int32))
         return jax.vmap(one)(frames)
     bench("  sorting: beam search", jax.jit(beam_only), frames)
