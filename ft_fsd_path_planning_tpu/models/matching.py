@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ft_fsd_path_planning_tpu.config import PlannerConfig
+from ft_fsd_path_planning_tpu.ops import gatherless as gl
 from ft_fsd_path_planning_tpu.ops import geometry as geo
 from ft_fsd_path_planning_tpu.utils.cone_types import ConeTypes
 
@@ -51,17 +52,19 @@ def match_search_directions(cones: Array, mask: Array, cone_type: int) -> Array:
     s = cones.shape[0]
     n = jnp.sum(mask)
     i = jnp.arange(s)
-    prev_i = jnp.clip(jnp.where(i == 0, 0, i - 1), 0, s - 1)
-    next_i = jnp.clip(jnp.where(i >= n - 1, jnp.minimum(i + 1, n - 1), i + 1), 0, s - 1)
-    # first cone: chord (0, 1); last: (n-2, n-1); interior: (i-1, i+1)
+    # first cone: chord (0, 1); last: (n-2, n-1); interior: (i-1, i+1).
+    # prev/next lookups are pure axis shifts; the three scalar endpoint rows
+    # come from one one-hot contraction — no gathers.
     first = i == 0
     last = (i == n - 1) & (n >= 2)
-    a = jnp.where(first[:, None], cones[0], jnp.where(last[:, None], cones[jnp.clip(n - 2, 0, s - 1)], cones[prev_i]))
-    b = jnp.where(
-        first[:, None],
-        cones[jnp.clip(jnp.minimum(1, n - 1), 0, s - 1)],
-        jnp.where(last[:, None], cones[jnp.clip(n - 1, 0, s - 1)], cones[next_i]),
-    )
+    prev = jnp.concatenate([cones[:1], cones[:-1]], axis=0)
+    nxt = jnp.concatenate([cones[1:], cones[-1:]], axis=0)
+    ends = gl.take_rows(
+        cones,
+        jnp.clip(jnp.stack([n - 2, n - 1, jnp.minimum(1, n - 1)]), 0, s - 1),
+    )  # [cones[n-2], cones[n-1], cones[min(1, n-1)]]
+    a = jnp.where(first[:, None], cones[0], jnp.where(last[:, None], ends[0], prev))
+    b = jnp.where(first[:, None], ends[2], jnp.where(last[:, None], ends[1], nxt))
     track_dir = b - a
     rotation = jnp.pi / 2 if cone_type == ConeTypes.RIGHT else -jnp.pi / 2
     d = geo.rotate(track_dir, rotation)
@@ -99,12 +102,14 @@ def potential_matches_mask(
     valid = cones_mask[:, None] & other_mask[None, :]
     mask = ellipse & angle_ok & opposition_ok & valid
 
-    # keep only the 2 closest candidates per cone (:132-142)
+    # keep only the 2 closest candidates per cone (:132-142) — one-hot
+    # membership instead of scatter (TPU scatters hit the slow path)
     dist = jnp.where(mask, jnp.linalg.norm(vec, axis=-1), jnp.inf)
-    _, top2 = jax.lax.top_k(-dist, 2)
-    keep = jnp.zeros_like(mask)
-    rows = jnp.arange(mask.shape[0])[:, None]
-    keep = keep.at[rows, top2].set(jnp.take_along_axis(jnp.isfinite(dist), top2, axis=1))
+    neg, top2 = jax.lax.top_k(-dist, 2)
+    finite = jnp.isfinite(neg)
+    keep = jnp.any(
+        (top2[:, :, None] == jnp.arange(mask.shape[1])) & finite[:, :, None], axis=1
+    )
     return keep & mask
 
 
@@ -152,19 +157,20 @@ def _insert_virtual_cones(
     d2 = jnp.where(jnp.arange(s)[None, :] < existing_count, d2, jnp.inf)
     min_d = jnp.where(insert_mask, jnp.min(d2, axis=1), jnp.inf)
     order = jnp.argsort(min_d)
-    to_insert = to_insert[order]
-    insert_mask = insert_mask[order]
+    to_insert = gl.take_rows(to_insert, order)
+    insert_mask = gl.take_vec(insert_mask.astype(jnp.float32), order) > 0.5
 
     def body(k, carry):
         buf, count = carry
-        cone = to_insert[k]
-        do = insert_mask[k]
+        cone = jax.lax.dynamic_slice_in_dim(to_insert, k, 1, axis=0)[0]
+        do = jax.lax.dynamic_slice_in_dim(insert_mask, k, 1, axis=0)[0]
 
         iota = jnp.arange(s)
         valid = iota < count
         dist = jnp.where(valid, jnp.linalg.norm(buf - cone, axis=1), jnp.inf)
-        two = jnp.argsort(dist)[:2]
+        neg, two = jax.lax.top_k(-dist, 2)
         closest, second = two[0], two[1]
+        near2 = gl.take_rows(buf, two)
 
         # single existing cone: insert by car distance (:221-222, :264-282)
         d_cone = jnp.linalg.norm(cone - car_position)
@@ -172,8 +178,8 @@ def _insert_virtual_cones(
         idx_single = jnp.where(d_cone < d_exist, 0, 1)
 
         adjacent = jnp.abs(closest - second) == 1
-        v1 = buf[closest] - cone
-        v2 = buf[second] - cone
+        v1 = near2[0] - cone
+        v2 = near2[1] - cone
         between = geo.vec_angle_between(v1, v2) > jnp.pi / 2
         idx_multi = jnp.where(
             between,
@@ -184,12 +190,9 @@ def _insert_virtual_cones(
         idx = jnp.where(count == 1, idx_single, idx_multi)
         do = do & ((count == 1) | adjacent) & (count < s)
 
-        # branchless shift-insert
-        shifted = jnp.where(
-            (iota[:, None] > idx) & do,
-            buf[jnp.maximum(iota - 1, 0)],
-            buf,
-        )
+        # branchless shift-insert (shift is a static slice, not a gather)
+        buf_shift = jnp.concatenate([buf[:1], buf[:-1]], axis=0)
+        shifted = jnp.where((iota[:, None] > idx) & do, buf_shift, buf)
         new_buf = jnp.where((iota[:, None] == idx) & do, cone, shifted)
         return new_buf, count + do.astype(count.dtype)
 
@@ -235,7 +238,7 @@ def combine_and_sort_virtual_with_real(
     )
     keep = merged_mask & ~low
     order, valid = geo.stable_compact(keep)
-    merged = merged[order]
+    merged = gl.take_rows(merged, order)
     merged_mask = valid
 
     # virtual flag: farther than epsilon from every real cone (:331-335)
@@ -309,7 +312,7 @@ def _cones_for_other_side(
     unmatched = (matches == -1) & cones_mask
     virtual = cones + dirs * cfg.matching.min_track_width
     order, virt_valid = geo.stable_compact(unmatched)
-    virtual = virtual[order]
+    virtual = gl.take_rows(virtual, order)
 
     combined, combined_mask, is_virtual = combine_and_sort_virtual_with_real(
         other, other_mask, virtual, virt_valid, position

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ft_fsd_path_planning_tpu.config import PlannerConfig
+from ft_fsd_path_planning_tpu.ops import gatherless as gl
 from ft_fsd_path_planning_tpu.ops import geometry as geo
 from ft_fsd_path_planning_tpu.ops import spline as sp
 from ft_fsd_path_planning_tpu.ops.curvature import path_curvature, uniform_filter1d_nearest
@@ -88,11 +89,7 @@ ALMOST_STRAIGHT_PATH = _almost_straight_path()  # (40, 2)
 
 def _shift_left(arr: Array, k: Array, fill: float = 0.0) -> Array:
     """arr[i] <- arr[i + k] with fill after the end (drop first k rows)."""
-    n = arr.shape[0]
-    idx = jnp.arange(n) + k
-    ok = idx < n
-    gathered = arr[jnp.clip(idx, 0, n - 1)]
-    return jnp.where(ok[..., None] if arr.ndim == 2 else ok, gathered, fill)
+    return gl.shift_left(arr, k, fill)
 
 
 def _fit_and_densify(
@@ -132,13 +129,19 @@ def _global_path_centerline(
     dist = jnp.where(in_path, jnp.linalg.norm(gp.points - position, axis=1), jnp.inf)
     idx_closest = jnp.argmin(dist)
     n = jnp.maximum(gp.n_valid, 1)
-    # rolled[i] = original[(i + idx_closest - n//3) mod n]
-    src = (jnp.arange(g) + idx_closest - n // 3) % n
-    rolled = gp.points[src]
-    dist_rolled = dist[src]
-    keep = (jnp.arange(g) < gp.n_valid) & (dist_rolled < 30.0)
+    # rolled[i] = original[(i + s) mod n] for the valid prefix of length n,
+    # built from two circular rolls of the full buffer (contiguous slices,
+    # no gather): the second roll supplies the slots that wrap past n.
+    s = jnp.mod(idx_closest - n // 3, n)
+    pts_z = jnp.where(in_path[:, None], gp.points, 0.0)
+    r1 = gl.circular_roll(pts_z, s)  # a[(i + s) mod g] — correct for i < n - s
+    r2 = gl.circular_roll(pts_z, g - n + s)  # a[(i + s - n) mod g] — for i >= n - s
+    rolled = jnp.where((jnp.arange(g) < n - s)[:, None], r1, r2)
+    keep = (jnp.arange(g) < gp.n_valid) & (
+        jnp.linalg.norm(rolled - position, axis=1) < 30.0
+    )
     order, valid = geo.stable_compact(keep, cl)
-    return rolled[order], valid
+    return gl.take_rows(rolled, order), valid
 
 
 def _matches_centerline(
@@ -164,11 +167,11 @@ def _matches_centerline(
     other = jnp.where(use_left, inp.right_cones, inp.left_cones)
 
     matched = (matches != -1) & side_mask
-    partner = other[jnp.clip(matches, 0, other.shape[0] - 1)]
+    partner = gl.take_rows(other, matches)  # -1 -> zero row, masked below
     centers = (side + partner) / 2.0
 
     order, valid = geo.stable_compact(matched, cl)
-    centers_c = centers[order]
+    centers_c = gl.take_rows(centers, order)
 
     # < 2 matched centers -> previous path points (:201-205)
     too_few = jnp.sum(matched) < 2
@@ -224,12 +227,12 @@ def _extend_path(
 
     needs_ext = front_length <= mpc_path_length
 
-    # last 20 valid points
+    # last 20 valid points (contiguous dynamic window; negative slots zeroed
+    # and masked)
     last_idx = jnp.maximum(n_valid - 1, 0)
     rel_raw = n_valid - 20 + jnp.arange(20)
     rel_mask = rel_raw >= 0
-    rel_idx = jnp.clip(rel_raw, 0, d - 1)
-    relevant = path[rel_idx]
+    relevant = gl.window(path, n_valid - 20, 20)
     circ = geo.circle_fit(relevant, rel_mask)
     center, radius = circ[:2], circ[2]
     radius_to_use = jnp.clip(radius, 10.0, 100.0)
@@ -237,11 +240,12 @@ def _extend_path(
     rel_centered = relevant - center
     count = jnp.sum(rel_mask)
     first_off = jnp.argmax(rel_mask)
-    three = rel_centered[
+    three = gl.take_rows(
+        rel_centered,
         jnp.clip(
             jnp.stack([first_off, first_off + count // 2, first_off + count - 1]), 0, 19
-        )
-    ]
+        ),
+    )
     det = (three[1, 0] - three[0, 0]) * (three[2, 1] - three[0, 1]) - (
         three[1, 1] - three[0, 1]
     ) * (three[2, 0] - three[0, 0])
@@ -251,10 +255,10 @@ def _extend_path(
     end_angle = start_angle + orientation_sign * jnp.pi
     arc_angles = jnp.linspace(start_angle, end_angle, 50)
     arc_raw = geo.unit_2d_vector_from_angle(arc_angles) * radius_to_use
-    last_point = path[last_idx]
+    tail2 = gl.take_rows(path, jnp.stack([last_idx, jnp.maximum(n_valid - 2, 0)]))
+    last_point, second_last = tail2[0], tail2[1]
     arc_pts = (arc_raw - arc_raw[0] + last_point)[1:]  # 49 points
 
-    second_last = path[jnp.maximum(n_valid - 2, 0)]
     ray_dir = geo.normalize_last_axis((last_point - second_last)[None])[0]
     ray_pts = last_point + ray_dir * jnp.arange(1, 30, dtype=path.dtype)[:, None]  # 29
 
@@ -262,12 +266,13 @@ def _extend_path(
     n_ext = jnp.where(use_arc, 49, 29)
     ext = jnp.where(use_arc, arc_pts, jnp.zeros_like(arc_pts).at[:29].set(ray_pts))
 
-    # scatter extension after n_valid
-    write_pos = n_valid + jnp.arange(49)
-    can_write = (write_pos < d) & (jnp.arange(49) < n_ext) & needs_ext
-    path_out = path.at[jnp.clip(write_pos, 0, d - 1)].set(
-        jnp.where(can_write[:, None], ext, path[jnp.clip(write_pos, 0, d - 1)])
-    )
+    # write the extension after n_valid: align it with a contiguous dynamic
+    # shift and select (scatters hit the TPU slow path)
+    ext_full = jnp.zeros((d, 2), path.dtype).at[:49].set(ext)
+    ext_shifted = gl.shift_right(ext_full, n_valid)  # row i = ext[i - n_valid]
+    row = jnp.arange(d)
+    can_write = (row >= n_valid) & (row < n_valid + n_ext) & needs_ext
+    path_out = jnp.where(can_write[:, None], ext_shifted, path)
     n_out = jnp.where(needs_ext, jnp.minimum(n_valid + n_ext, d), n_valid)
     return path_out, n_out
 
@@ -324,10 +329,11 @@ def _parameterize_path(
     skip_f = predict_every / jnp.maximum(mean_point_distance, 1e-9)
     skip = jnp.maximum(jnp.where(jnp.isfinite(skip_f), skip_f.astype(jnp.int32), 1), 1)
 
-    # path[::skip] (path_parameterization.py:152)
+    # path[::skip] (path_parameterization.py:152) — strided dynamic lookup as
+    # a one-hot contraction (out-of-range rows come back zero, masked below)
     take = jnp.arange(d) * skip
     skipped_valid = take < n_valid
-    skipped = path[jnp.clip(take, 0, d - 1)]
+    skipped = gl.take_rows(path, take)
 
     fit = sp.fit_spline(skipped, skipped_valid, cfg.path.refit_smoothing)
     pts, u_grid, pts_valid = sp.eval_spline_every(fit, predict_every, d)
@@ -353,8 +359,15 @@ def _parameterize_path(
     indices = jnp.clip(lin.astype(jnp.int32), 0, d - 1)
     ok = (n_pts >= horizon) & fit.ok  # duplicates -> ValueError -> fallback
 
+    pts_h = gl.take_rows(pts, indices)  # (H, 2)
     out = jnp.stack(
-        [u_grid[indices], pts[indices, 0], pts[indices, 1], curv_f[indices]], axis=1
+        [
+            gl.take_vec(u_grid, indices),
+            pts_h[:, 0],
+            pts_h[:, 1],
+            gl.take_vec(curv_f, indices),
+        ],
+        axis=1,
     )
     return out, ok
 
@@ -505,7 +518,7 @@ def _skidpad_path_update(
 
     take = index_to_use + jnp.arange(d)
     track_valid = (take < final_index) & (take < gp.n_valid)
-    tracked = gp.points[jnp.clip(take, 0, g - 1)]
+    tracked = gl.window(gp.points, index_to_use, d)  # contiguous, no gather
 
     # pre-relocalization: trivial straight path from the car (:54-55)
     triv, triv_mask = trivial_path(position, direction)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ft_fsd_path_planning_tpu.assets.known_paths import BASE_SKIDPAD_PATH
 from ft_fsd_path_planning_tpu.config import PlannerConfig
+from ft_fsd_path_planning_tpu.ops import gatherless as gl
 from ft_fsd_path_planning_tpu.ops import geometry as geo
 
 Array = jax.Array
@@ -125,16 +126,18 @@ def skidpad_relocalize_once(
 
     # 20 closest cones (:208-212)
     dist = jnp.where(mask, jnp.linalg.norm(cones_xy - vehicle_position, axis=1), jnp.inf)
-    _, close_idx = jax.lax.top_k(-dist, _N_CLOSEST)
-    close = cones_xy[close_idx]  # (20, 2)
-    close_ok = jnp.isfinite(dist[close_idx])
+    neg, close_idx = jax.lax.top_k(-dist, _N_CLOSEST)
+    close = gl.take_rows(cones_xy, close_idx)  # (20, 2)
+    close_ok = jnp.isfinite(neg)
 
     # powerset circle fits (:31-64)
     subsets = jnp.asarray(_SUBSETS)
     sub_mask = subsets >= 0
     sub_idx = jnp.clip(subsets, 0, _N_CLOSEST - 1)
-    pts = close[sub_idx]  # (S, 5, 2)
-    valid_members = sub_mask & close_ok[sub_idx]
+    s_rows = sub_idx.shape[0]
+    pts = gl.take_rows(close, sub_idx.reshape(-1)).reshape(s_rows, 5, 2)
+    member_ok = gl.take_vec(close_ok.astype(jnp.float32), sub_idx.reshape(-1)) > 0.5
+    valid_members = sub_mask & member_ok.reshape(s_rows, 5)
     subset_ok = jnp.all(valid_members == sub_mask, axis=1)  # no padded-invalid member
 
     # mean nearest-neighbour distance inside the subset
@@ -161,9 +164,12 @@ def skidpad_relocalize_once(
     )
     enough = jnp.sum(accept) >= 3  # (:218-219)
 
-    # compact accepted centers (up to 64) and cluster by label propagation
+    # compact accepted centers (up to 64) and cluster by label propagation.
+    # center_s must be finite before the one-hot contraction: a single
+    # inf/nan row would poison every output row via 0 * inf.
+    center_s = jnp.where(jnp.isfinite(center_s), center_s, 0.0)
     order, cvalid = geo.stable_compact(accept, _MAX_CENTERS)
-    centers = center_s[order]  # (64, 2)
+    centers = gl.take_rows(center_s, order)  # (64, 2)
 
     cd = jnp.sqrt(geo.cdist_sq(centers, centers))
     adj = (cd < _DBSCAN_EPS) & cvalid[:, None] & cvalid[None, :]
@@ -189,9 +195,10 @@ def skidpad_relocalize_once(
     score = jnp.where(pair_valid, jnp.abs(_CENTER_SEP - sep), jnp.inf)
     flat = jnp.argmin(score)
     bi, bj = flat // _MAX_CENTERS, flat % _MAX_CENTERS
-    pair_found = (n_clusters > 1) & (score[bi, bj] < 0.5)
+    pair_found = (n_clusters > 1) & (jnp.min(score) < 0.5)
 
-    c1, c2 = medians[bi], medians[bj]
+    cc = gl.take_rows(medians, jnp.stack([bi, bj]))
+    c1, c2 = cc[0], cc[1]
 
     # left/right assignment in the original vehicle frame (:112-119)
     yaw0 = geo.angle_from_2d_vector(origin_direction)
@@ -239,12 +246,12 @@ def acceleration_relocalize_once(
     n_row = jnp.sum(row)
 
     order, valid = geo.stable_compact(row)
-    pts = local[order]  # compacted row cones
+    pts = gl.take_rows(local, order)  # compacted row cones
 
     # static pseudo-random 3-subsets over the live prefix
     u = jnp.asarray(_RANSAC_U)
     idx = jnp.minimum((u * n_row).astype(jnp.int32), jnp.maximum(n_row - 1, 0))
-    sub = pts[idx]  # (100, 3, 2)
+    sub = gl.take_rows(pts, idx.reshape(-1)).reshape(_N_RANSAC, 3, 2)
 
     x, y = sub[..., 0], sub[..., 1]
     mx = jnp.mean(x, axis=1, keepdims=True)
@@ -255,7 +262,7 @@ def acceleration_relocalize_once(
     intercept = my[:, 0] - slope * mx[:, 0]
     sse = jnp.sum((y - (slope[:, None] * x + intercept[:, None])) ** 2, axis=1)
     best = jnp.argmin(sse)
-    best_slope = slope[best]
+    best_slope = gl.take_vec(slope, best[None])[0]
 
     angle_to_fix = jnp.arctan(best_slope) + yaw
     ok = n_row >= 4

@@ -80,16 +80,17 @@ def select_starting_cones(
 
     d1 = jnp.where(base, dist, _INF)
     i1 = jnp.argmin(d1)
-    ok1 = d1[i1] <= cfg.max_dist_to_first
+    ok1 = jnp.min(d1) <= cfg.max_dist_to_first
 
     # second cone: behind the car, not the first (core_trace_sorter.py:409-445)
     angle_to_car = geo.vec_angle_between(xy - car_position, car_direction)
     skip = (jnp.abs(angle_to_car) < jnp.pi / 2) | (jnp.arange(xy.shape[0]) == i1)
     d2 = jnp.where(base & ~skip, dist, _INF)
     i2 = jnp.argmin(d2)
-    ok2 = d2[i2] <= cfg.max_dist_to_first
+    ok2 = jnp.min(d2) <= cfg.max_dist_to_first
 
-    cone_dir_1 = xy[i1] - xy[i2]
+    xy12 = gl.take_rows(xy, jnp.stack([i1, i2]))
+    cone_dir_1 = xy12[0] - xy12[1]
     a1 = geo.vec_angle_between(cone_dir_1, car_direction)
     a2 = geo.vec_angle_between(-cone_dir_1, car_direction)
     swap = a1 > a2
@@ -531,8 +532,10 @@ def _postfilter_pool(
     valid = valid & (lengths >= 3)
 
     last_pos = jnp.maximum(lengths - 1, 0)
-    last_cone = jnp.take_along_axis(configs, last_pos[:, None], axis=1)[:, 0]
-    last_color = points[jnp.clip(last_cone, 0, points.shape[0] - 1), 2]
+    last_cone = jnp.sum(
+        jnp.where(jnp.arange(l)[None, :] == last_pos[:, None], configs, 0), axis=1
+    )
+    last_color = gl.take_vec(points[:, 2], jnp.clip(last_cone, 0, points.shape[0] - 1))
     strip = (last_color != cone_type) & valid
     configs = jnp.where(
         strip[:, None] & (jnp.arange(l)[None, :] == last_pos[:, None]), -1, configs
@@ -603,7 +606,10 @@ def sort_one_side(
     )
     best_idx = jnp.argmin(costs)
     has_result = jnp.any(valid) & startable
-    best = jnp.where(has_result, configs[best_idx], -1)
+    best_row = jnp.round(
+        gl.take_rows(configs.astype(jnp.float32), best_idx[None])[0]
+    ).astype(jnp.int32)
+    best = jnp.where(has_result, best_row, -1)
     return SideResult(
         configs=configs, valid=valid, costs=costs, best=best, has_result=has_result
     )
@@ -616,10 +622,11 @@ def sort_one_side(
 
 def _angle_change_at(points_xy: Array, config: Array, pos: Array) -> Array:
     """calc_angle_change_at_position (combine_traces.py:260-275)."""
-    n = points_xy.shape[0]
     l = config.shape[0]
-    take = lambda i: points_xy[jnp.clip(config[jnp.clip(i, 0, l - 1)], 0, n - 1)]
-    prev_c, inter, next_c = take(pos - 1), take(pos), take(pos + 1)
+    idx3 = jnp.clip(jnp.stack([pos - 1, pos, pos + 1]), 0, l - 1)
+    cfg3 = jnp.round(gl.take_vec(config.astype(jnp.float32), idx3)).astype(jnp.int32)
+    pts3 = gl.take_rows(points_xy, cfg3)  # padded (-1) slots -> zero rows
+    prev_c, inter, next_c = pts3[0], pts3[1], pts3[2]
     a_next = geo.angle_from_2d_vector(next_c - inter)
     a_prev = geo.angle_from_2d_vector(prev_c - inter)
     return geo.angle_difference(a_next, a_prev)
@@ -657,13 +664,19 @@ def combine_traces(
     ri = jnp.min(jnp.where(r_in_l, jnp.arange(l), big))
 
     # --- the arbitration decision table (combine_traces.py:150-257)
-    inter_cone = left_cfg[jnp.clip(li, 0, l - 1)]
-    prev_left = left_cfg[jnp.clip(li - 1, 0, l - 1)]
-    prev_right = right_cfg[jnp.clip(ri - 1, 0, l - 1)]
     n = xy.shape[0]
-    cxy = lambda i: xy[jnp.clip(i, 0, n - 1)]
-    d_left = jnp.linalg.norm(cxy(inter_cone) - cxy(prev_left))
-    d_right = jnp.linalg.norm(cxy(inter_cone) - cxy(prev_right))
+    both_cfg = jnp.concatenate([left_cfg, right_cfg]).astype(jnp.float32)  # (2L,)
+    idx = jnp.concatenate(
+        [
+            jnp.clip(jnp.stack([li, li - 1, li]), 0, l - 1),
+            l + jnp.clip(jnp.stack([ri - 1, ri]), 0, l - 1),
+        ]
+    )  # [inter@li, prev_left, left@li, prev_right, right@ri]
+    cones5 = jnp.round(gl.take_vec(both_cfg, idx)).astype(jnp.int32)
+    inter_cone, prev_left, prev_right = cones5[0], cones5[1], cones5[3]
+    pts3 = gl.take_rows(xy, jnp.clip(cones5[:4], 0, n - 1))
+    d_left = jnp.linalg.norm(pts3[0] - pts3[1])
+    d_right = jnp.linalg.norm(pts3[0] - pts3[3])
 
     both_pos = (li > 0) & (ri > 0)
     ll = d_left < 3.0
@@ -673,7 +686,7 @@ def combine_traces(
     r1_right_stop = jnp.where(ll, ri, len_r)
 
     # middle-intersection rule
-    same_cone = left_cfg[jnp.clip(li, 0, l - 1)] == right_cfg[jnp.clip(ri, 0, l - 1)]
+    same_cone = cones5[2] == cones5[4]
     li_mid = (li >= 1) & (li <= len_l - 2)
     ri_mid = (ri >= 1) & (ri <= len_r - 2)
     rule2 = ~rule1 & same_cone & li_mid & ri_mid
@@ -765,7 +778,10 @@ def run_cone_sorting(
     def compact(config: Array) -> tuple[Array, Array]:
         keep = config != -1
         order, valid = geo.stable_compact(keep)
-        cones = xy[jnp.clip(config[order], 0, n - 1)]
+        cfg_c = jnp.round(gl.take_vec(config.astype(jnp.float32), order)).astype(
+            jnp.int32
+        )
+        cones = gl.take_rows(xy, cfg_c)
         return jnp.where(valid[:, None], cones, 0.0), valid
 
     lc, lm = compact(left_cfg)

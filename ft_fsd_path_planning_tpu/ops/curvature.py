@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ft_fsd_path_planning_tpu.ops import gatherless as gl
 from ft_fsd_path_planning_tpu.ops.geometry import circle_fit
 
 Array = jax.Array
@@ -78,10 +79,8 @@ def path_curvature(
     mid_off = jnp.minimum(mid_off, last_off)
 
     def take(offsets):
-        gathered = jnp.take_along_axis(
-            win_pts, jnp.clip(offsets, 0, max_window - 1)[:, None, None], axis=1
-        )
-        return gathered[:, 0, :]
+        # per-row slot pick as a one-hot reduce (gathers hit the slow path)
+        return gl.select_slot(win_pts, jnp.clip(offsets, 0, max_window - 1))
 
     p0, p1, p2 = take(first_off), take(mid_off), take(last_off)
     det = (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1]) - (p1[:, 1] - p0[:, 1]) * (
@@ -122,7 +121,7 @@ def uniform_filter1d_nearest(
     n_below = jnp.clip(size // 2 - centers, 0, size)
     n_above = jnp.clip(centers - size // 2 + size - 1 - (n_valid - 1), 0, size)
     v_first = values[0]
-    v_last = values[jnp.clip(n_valid - 1, 0, p - 1)]
+    v_last = gl.take_vec(values, jnp.clip(n_valid - 1, 0, p - 1)[None])[0]
 
     out = (body + n_below * v_first + n_above * v_last) / jnp.maximum(size, 1)
     return jnp.where(centers < n_valid, out, 0.0)

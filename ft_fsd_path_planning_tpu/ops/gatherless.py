@@ -45,6 +45,40 @@ def take_int_rows(table: Array, idx: Array) -> Array:
     return jnp.round(out).astype(table.dtype)
 
 
+def shift_left(arr: Array, k: Array, fill: float = 0.0) -> Array:
+    """out[i] = arr[i + k] for i + k < n, else fill. k: traced scalar in [0, n].
+
+    Expressed as concat + lax.dynamic_slice (contiguous copy) — never a gather.
+    """
+    n = arr.shape[0]
+    buf = jnp.concatenate([arr, jnp.full_like(arr, fill)], axis=0)
+    return jax.lax.dynamic_slice_in_dim(buf, k, n, axis=0)
+
+
+def shift_right(arr: Array, k: Array, fill: float = 0.0) -> Array:
+    """out[i] = arr[i - k] for i >= k, else fill. k: traced scalar in [0, n]."""
+    n = arr.shape[0]
+    buf = jnp.concatenate([jnp.full_like(arr, fill), arr], axis=0)
+    return jax.lax.dynamic_slice_in_dim(buf, n - k, n, axis=0)
+
+
+def window(arr: Array, start: Array, size: int, fill: float = 0.0) -> Array:
+    """Rows [start, start + size) of arr, fill outside [0, n).
+
+    start: traced scalar in [-size, n]. Contiguous dynamic_slice, no gather.
+    """
+    pad = jnp.full((size,) + arr.shape[1:], fill, arr.dtype)
+    buf = jnp.concatenate([pad, arr, pad], axis=0)
+    return jax.lax.dynamic_slice_in_dim(buf, start + size, size, axis=0)
+
+
+def circular_roll(arr: Array, s: Array) -> Array:
+    """out[i] = arr[(i + s) mod n] for traced scalar s in [0, n]."""
+    n = arr.shape[0]
+    buf = jnp.concatenate([arr, arr], axis=0)
+    return jax.lax.dynamic_slice_in_dim(buf, s, n, axis=0)
+
+
 def select_slot(values: Array, slot: Array) -> Array:
     """values (..., K, C, V), slot (..., K) int in [0, C) -> (..., K, V).
 

@@ -168,7 +168,10 @@ def circle_fit(points: Array, mask: Array | None = None, max_iter: int = 32) -> 
     x, _, _ = jax.lax.fori_loop(0, max_iter, newton_body, (x0, y0, done0))
 
     det = x * x - x * mz + cov_xy
-    det = jnp.where(jnp.abs(det) < _EPS, jnp.sign(det) * _EPS + _EPS, det)
+    # clamp |det| >= eps keeping its sign (sign 0 counts as +): a plain
+    # sign(det)*eps would collapse to 0 for det == 0
+    det_sign = jnp.where(det < 0, -1.0, 1.0)
+    det = det_sign * jnp.maximum(jnp.abs(det), _EPS)
     xc_center = (mxz * (myy - x) - myz * mxy) / det / 2.0
     yc_center = (myz * (mxx - x) - mxz * mxy) / det / 2.0
 
@@ -230,9 +233,15 @@ def masked_median(values: Array, mask: Array, axis: int = -1) -> Array:
     count = jnp.sum(mask, axis=axis)
     lo_idx = jnp.maximum((count - 1) // 2, 0)
     hi_idx = jnp.maximum(count // 2, 0)
-    lo = jnp.take_along_axis(sorted_vals, lo_idx[..., None], axis=axis)[..., 0]
-    hi = jnp.take_along_axis(sorted_vals, hi_idx[..., None], axis=axis)[..., 0]
-    return 0.5 * (lo + hi)
+    # per-row slot picks as one-hot reductions (gathers hit the TPU slow path)
+    if axis != -1 and axis != values.ndim - 1:
+        raise ValueError("masked_median supports axis=-1 only")
+    iota = jnp.arange(values.shape[-1])
+    lo = jnp.sum(jnp.where(iota == lo_idx[..., None], sorted_vals, 0.0), axis=-1)
+    hi = jnp.sum(jnp.where(iota == hi_idx[..., None], sorted_vals, 0.0), axis=-1)
+    # 0.5*lo + 0.5*hi, NOT 0.5*(lo+hi): empty rows yield lo = hi = f32 max and
+    # the sum overflows to inf, which poisons one-hot contractions downstream
+    return 0.5 * lo + 0.5 * hi
 
 
 def masked_argmin(values: Array, mask: Array, axis: int = -1) -> Array:

@@ -30,6 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ft_fsd_path_planning_tpu.ops import gatherless as gl
 from ft_fsd_path_planning_tpu.ops.pallas.banded_cholesky import (
     banded_cholesky_solve,
     dense_to_band,
@@ -277,7 +278,11 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     # lambda (closest to interpolation)
     within = ssr_grid <= s_budget
     best = jnp.where(jnp.any(within), _LAM_GRID - 1 - jnp.argmax(within[::-1]), 0)
-    c_grid_best = c_grid[best]
+    # grid-row selects as one-hot reductions (gathers hit the TPU slow path)
+    oh_best = (jnp.arange(_LAM_GRID) == best).astype(points.dtype)
+    c_grid_best = jnp.einsum(
+        "g,gcf->cf", oh_best, c_grid, precision=jax.lax.Precision.HIGHEST
+    )
 
     # refine inside the bracketing grid cell [lam_best, lam_best+1]: SSR(lam)
     # is monotone, so log-interpolate the s-crossing and re-solve once. This
@@ -286,13 +291,16 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     # FITPACK's own stopping rule (spline_fit.py:117-124).
     have_bracket = jnp.any(within) & ~within[-1]
     hi = jnp.minimum(best + 1, _LAM_GRID - 1)
-    ssr_lo = jnp.maximum(ssr_grid[best], 1e-20)
-    ssr_hi = jnp.maximum(ssr_grid[hi], ssr_lo * (1.0 + 1e-6))
+    oh_hi = (jnp.arange(_LAM_GRID) == hi).astype(points.dtype)
+    pick = lambda oh, v: jnp.sum(oh * v)
+    ssr_lo = jnp.maximum(pick(oh_best, ssr_grid), 1e-20)
+    ssr_hi = jnp.maximum(pick(oh_hi, ssr_grid), ssr_lo * (1.0 + 1e-6))
     frac = (jnp.log(jnp.maximum(s_budget, 1e-20)) - jnp.log(ssr_lo)) / (
         jnp.log(ssr_hi) - jnp.log(ssr_lo)
     )
     frac = jnp.clip(jnp.where(jnp.isfinite(frac), frac, 0.0), 0.0, 1.0)
-    log_lam_star = log_lams[best] + frac * (log_lams[hi] - log_lams[best])
+    ll_best = pick(oh_best, log_lams)
+    log_lam_star = ll_best + frac * (pick(oh_hi, log_lams) - ll_best)
     lam_star = 10.0**log_lam_star * scale
     a_star = gram + lam_star * omega
     if _use_pallas_solver():
