@@ -111,6 +111,18 @@ class ShapeBudget:
     reloc_closest_cones: int = 20
     reloc_max_centers: int = 64
 
+    def __post_init__(self) -> None:
+        # integer payloads ride one-hot f32 contractions on the hot path
+        # (ops/gatherless.take_int_rows): exact only below 2**24
+        for name in ("n_cones", "config_len", "side_len", "dense_samples",
+                     "global_window"):
+            value = getattr(self, name)
+            if not 0 < value < 2**24:
+                raise ValueError(
+                    f"ShapeBudget.{name}={value} outside (0, 2**24): integer "
+                    "indices are carried through f32 one-hot contractions"
+                )
+
 
 @dataclasses.dataclass(frozen=True)
 class PlannerConfig:
@@ -136,11 +148,29 @@ class PlannerConfig:
 def default_config(
     mission: MissionTypes = MissionTypes.trackdrive,
     experimental_performance_improvements: bool = False,
+    n_cones: int | None = None,
     **overrides,
 ) -> PlannerConfig:
-    """Mission preset mirroring the reference factory defaults."""
+    """Mission preset mirroring the reference factory defaults.
+
+    ``n_cones`` overrides the flattened-cone budget; pass 256+ for full
+    SLAM-map workloads (an FSG autocross map flattens to hundreds of cones,
+    reference core_trace_sorter.py:37-54).
+    """
+    if n_cones is not None and "shapes" not in overrides:
+        overrides["shapes"] = ShapeBudget(n_cones=n_cones)
     return PlannerConfig(
         mission=mission,
         experimental_performance_improvements=experimental_performance_improvements,
         **overrides,
+    )
+
+
+def large_map_config(
+    mission: MissionTypes = MissionTypes.trackdrive,
+    experimental_performance_improvements: bool = False,
+) -> PlannerConfig:
+    """Preset sized for whole-SLAM-map frames (hundreds of cones)."""
+    return default_config(
+        mission, experimental_performance_improvements, n_cones=256
     )

@@ -9,6 +9,7 @@ all inside :func:`planner_step`; this class only carries host-side state.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from functools import partial
 from typing import Any, List, Optional, Tuple, Union
 
@@ -43,7 +44,23 @@ class RelocalizationInformation:
 def flatten_cones_by_type(cones: List[FloatArray], n_max: int) -> Tuple[np.ndarray, np.ndarray]:
     """Ravel the per-type cone lists into a padded (N, 3) [x, y, color]
     tensor + mask (reference flatten_cones_by_type_array,
-    core_trace_sorter.py:37-54)."""
+    core_trace_sorter.py:37-54).
+
+    Warns when the frame overflows the ``n_max`` budget — dropping cones on
+    a full SLAM map would silently corrupt the planned path. Use
+    ``config.large_map_config()`` / ``default_config(n_cones=...)`` to raise
+    the budget (it is a static shape: changing it retraces the program).
+    """
+    total = sum(np.asarray(c).reshape(-1, 2).shape[0] for c in cones)
+    if total > n_max:
+        warnings.warn(
+            f"frame has {total} cones but the configured shape budget is "
+            f"n_cones={n_max}; {total - n_max} cones will be DROPPED. "
+            "Construct the planner with a larger budget, e.g. "
+            "PathPlanner(mission, config=default_config(mission, n_cones=256)).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     pts = np.zeros((n_max, 3), np.float32)
     pts[:, 2] = -1.0
     mask = np.zeros(n_max, bool)

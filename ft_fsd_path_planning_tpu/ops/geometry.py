@@ -239,9 +239,13 @@ def masked_median(values: Array, mask: Array, axis: int = -1) -> Array:
     iota = jnp.arange(values.shape[-1])
     lo = jnp.sum(jnp.where(iota == lo_idx[..., None], sorted_vals, 0.0), axis=-1)
     hi = jnp.sum(jnp.where(iota == hi_idx[..., None], sorted_vals, 0.0), axis=-1)
-    # 0.5*lo + 0.5*hi, NOT 0.5*(lo+hi): empty rows yield lo = hi = f32 max and
-    # the sum overflows to inf, which poisons one-hot contractions downstream
-    return 0.5 * lo + 0.5 * hi
+    # Empty rows pick lo = hi = f32 max, whose sum overflows to inf.  Writing
+    # `0.5*lo + 0.5*hi` is NOT a fix: XLA's algebraic simplifier rewrites it
+    # back to 0.5*(lo+hi) under jit, and an inf result then NaN-poisons any
+    # downstream one-hot contraction (0*inf).  Select the fill value for
+    # empty rows explicitly — a where() cannot be simplified away.
+    med = 0.5 * (lo + hi)
+    return jnp.where(count > 0, med, big)
 
 
 def masked_argmin(values: Array, mask: Array, axis: int = -1) -> Array:

@@ -35,6 +35,74 @@ def corridor_scenario(
     return left, right
 
 
+def closed_track_scenario(
+    seed: int = 0,
+    base_radius: float = 36.0,
+    half_width: float = 1.5,
+    spacing: float = 3.5,
+    n_unknown: int = 6,
+):
+    """A closed FSG-autocross-like map: a smooth random loop with cones on
+    both borders plus a few off-track UNKNOWN distractors.
+
+    This is the workload the reference actually runs on — it flattens the
+    WHOLE SLAM map every frame (core_trace_sorter.py:37-54), so a realistic
+    frame carries 150-250 cones, most of them far from the car. Returns
+    ``(left, right, unknown, centerline, tangents)`` with the centerline
+    sampled uniformly in arc length (car poses for replay come from it).
+    """
+    rng = np.random.default_rng(seed)
+
+    # radial harmonics: smooth, closed, no self-intersection for small amps
+    theta = np.linspace(0.0, 2 * np.pi, 4096, endpoint=False)
+    r = np.full_like(theta, base_radius)
+    for k in (2, 3, 4):
+        amp = base_radius * rng.uniform(0.03, 0.10)
+        r = r + amp * np.cos(k * theta + rng.uniform(0, 2 * np.pi))
+    center = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
+
+    # resample uniformly in arc length
+    seg = np.linalg.norm(np.diff(center, axis=0, append=center[:1]), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])[:-1]
+    total = s[-1] + seg[-1]
+    n_samples = int(total / spacing)
+    su = np.arange(n_samples) * (total / n_samples)
+    cx = np.interp(su, s, center[:, 0], period=total)
+    cy = np.interp(su, s, center[:, 1], period=total)
+    cl = np.stack([cx, cy], axis=1)
+
+    tangent = np.roll(cl, -1, axis=0) - np.roll(cl, 1, axis=0)
+    tangent /= np.linalg.norm(tangent, axis=1, keepdims=True)
+    normal = np.stack([-tangent[:, 1], tangent[:, 0]], axis=1)
+
+    # counter-clockwise loop: inner border is LEFT (blue), outer is RIGHT
+    left = cl + normal * half_width
+    right = cl - normal * half_width
+    unknown = (
+        cl[rng.integers(0, n_samples, n_unknown)]
+        + rng.normal(0, 1.0, (n_unknown, 2))
+        + normal[rng.integers(0, n_samples, n_unknown)] * rng.uniform(
+            4.0, 8.0, (n_unknown, 1)
+        )
+    )
+    return left, right, unknown, cl, tangent
+
+
+def closed_track_frames(seed: int = 0, n_frames: int = 8, **kwargs):
+    """Whole-map frames with the car stepping along the closed track."""
+    left, right, unknown, cl, tangent = closed_track_scenario(seed, **kwargs)
+    n = len(cl)
+    frames = []
+    for i in range(n_frames):
+        j = (i * n) // n_frames
+        cones = [np.zeros((0, 2)) for _ in range(5)]
+        cones[ConeTypes.UNKNOWN] = unknown
+        cones[ConeTypes.LEFT] = left
+        cones[ConeTypes.RIGHT] = right
+        frames.append((cones, cl[j].copy(), tangent[j].copy()))
+    return frames
+
+
 def make_frame_batch(
     cfg: PlannerConfig,
     batch: int,

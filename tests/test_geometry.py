@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from ft_fsd_path_planning_tpu.ops import geometry as geo
@@ -115,6 +116,26 @@ def test_masked_median():
     got = float(geo.masked_median(jnp.asarray(vals), jnp.asarray(mask)))
     want = float(np.median(vals[mask]))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_masked_median_empty_rows_stay_finite_under_jit():
+    """Regression (round 2→3): for all-masked rows the two one-hot median
+    picks both land on the f32-max fill value; XLA's algebraic simplifier
+    turned `0.5*lo + 0.5*hi` back into `0.5*(lo+hi)` under jit, overflowing
+    to inf and NaN-poisoning downstream one-hot contractions (this silently
+    broke skidpad relocalization acceptance at exactly the freeze frame)."""
+    vals = jnp.asarray(RNG.normal(size=(8, 16)), jnp.float32)
+    mask = jnp.zeros((8, 16), bool).at[:4].set(True)  # rows 4..7 fully masked
+    med = jax.jit(geo.masked_median)(vals, mask)
+    assert np.all(np.isfinite(np.asarray(med))), np.asarray(med)
+    # non-empty rows still match numpy
+    want = np.median(np.asarray(vals)[:4], axis=1)
+    np.testing.assert_allclose(np.asarray(med)[:4], want, atol=1e-6)
+    # an inf row anywhere must not poison a one-hot contraction of the result
+    from ft_fsd_path_planning_tpu.ops import gatherless as gl
+
+    picked = jax.jit(lambda m: gl.take_vec(m, jnp.asarray([0, 1])))(med)
+    assert np.all(np.isfinite(np.asarray(picked)))
 
 
 def test_stable_compact():
