@@ -21,9 +21,18 @@ from __future__ import annotations
 
 import numpy as np
 
-_SKIDPAD_RADIUS = 9.125
-_SKIDPAD_SPACING = 0.05
-_CENTER_SEPARATION = 18.25  # distance between loop centers
+_SKIDPAD_SPACING = 0.05  # reference table spacing: 0.0500 +- 0.0002
+
+# Lobe geometry measured by least-squares circle fit of the reference
+# table's y<-2 / y>2 regions (the same fit the relocalizer itself performs,
+# skidpad_relocalizer.py:172-183). These are parity-spec constants, like the
+# cost weights: the relocalizer's reference centers and every tracked path
+# point derive from them, so using the ideal FSG values (0, -+9.125), r=9.125
+# offsets the whole mission output by ~5.5 cm.
+_RIGHT_CENTER = np.array([0.0549, -9.1361])
+_RIGHT_RADIUS = 9.1241
+_LEFT_CENTER = np.array([0.0548, 9.1164])
+_LEFT_RADIUS = 9.1262
 
 
 def _circle_points(center: np.ndarray, radius: float, start_angle: float,
@@ -34,6 +43,17 @@ def _circle_points(center: np.ndarray, radius: float, start_angle: float,
     return center + radius * np.stack([np.cos(ang), np.sin(ang)], axis=1)
 
 
+def _resample(path: np.ndarray, spacing: float) -> np.ndarray:
+    """Uniform arc-length resampling (the reference table is exactly
+    0.05 m-spaced, which a piecewise construction with junction steps isn't)."""
+    seg = np.linalg.norm(np.diff(path, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    su = np.arange(0.0, s[-1], spacing)
+    x = np.interp(su, s, path[:, 0])
+    y = np.interp(su, s, path[:, 1])
+    return np.stack([x, y], axis=1)
+
+
 def generate_skidpad_path() -> np.ndarray:
     rng = np.random.default_rng(7)
     spacing = _SKIDPAD_SPACING
@@ -41,20 +61,21 @@ def generate_skidpad_path() -> np.ndarray:
     entry_x = np.arange(-20.0, 0.0, spacing)
     entry = np.stack([entry_x, np.zeros_like(entry_x)], axis=1)
 
-    right_center = np.array([0.0, -_SKIDPAD_RADIUS])
-    left_center = np.array([0.0, +_SKIDPAD_RADIUS])
-
-    # right loops: start at origin (angle pi/2 w.r.t. right center), clockwise
-    right_loop = _circle_points(right_center, _SKIDPAD_RADIUS, np.pi / 2,
-                                np.pi / 2 - 2 * np.pi, spacing)
-    # left loops: start at origin (angle -pi/2 w.r.t. left center), counter-cw
-    left_loop = _circle_points(left_center, _SKIDPAD_RADIUS, -np.pi / 2,
-                               -np.pi / 2 + 2 * np.pi, spacing)
+    # each loop starts/ends at its junction-facing angle (toward the origin);
+    # the measured centers put the origin ~1 cm off the circles, which the
+    # uniform resampling below blends through
+    a_r = np.arctan2(-_RIGHT_CENTER[1], -_RIGHT_CENTER[0])
+    right_loop = _circle_points(_RIGHT_CENTER, _RIGHT_RADIUS, a_r,
+                                a_r - 2 * np.pi, spacing)
+    a_l = np.arctan2(-_LEFT_CENTER[1], -_LEFT_CENTER[0])
+    left_loop = _circle_points(_LEFT_CENTER, _LEFT_RADIUS, a_l,
+                               a_l + 2 * np.pi, spacing)
 
     exit_x = np.arange(0.0, 40.0, spacing)
     exit_ = np.stack([exit_x, np.zeros_like(exit_x)], axis=1)
 
     path = np.concatenate([entry, right_loop, right_loop, left_loop, left_loop, exit_])
+    path = _resample(path, spacing)
     path = path + rng.normal(0.0, 1e-3, path.shape)
     return path.astype(np.float64)
 

@@ -81,18 +81,41 @@ def transform_to_original_frame(state: RelocState, pos: Array, yaw: Array) -> tu
 
 
 def _subset_table() -> np.ndarray:
-    """All C(20,3) + C(20,4) + C(20,5) index subsets, -1 padded to width 5."""
-    rows = []
-    for size in (3, 4, 5):
-        for idxs in combinations(range(_N_CLOSEST), size):
-            rows.append(list(idxs) + [-1] * (5 - size))
-    return np.asarray(rows, np.int32)
+    """All C(20,3) index subsets in lexicographic order.
+
+    The reference intends sizes 3..5 but shadows its iterable
+    (`for idxs in combinations(idxs, i)`, skidpad_relocalizer.py:36-41):
+    after the size-3 pass ``idxs`` is the last 3-tuple, so the size-4/5
+    passes iterate an empty ``combinations`` — only trios are ever fit
+    (verified empirically against the replay log). Matching that exactly
+    matters: at the relocalization frame only ~7 circles are accepted, so
+    every extra accepted center shifts the cluster medians at decimeter
+    scale.
+    """
+    return np.asarray(list(combinations(range(_N_CLOSEST), 3)), np.int32)
 
 
-_SUBSETS = _subset_table()  # (21489, 5)
-# deterministic jitter against collinear subsets (reference adds 1e-3 noise,
-# skidpad_relocalizer.py:52-53)
-_SUBSET_NOISE = np.random.default_rng(42).normal(0.0, 1e-3, (_SUBSETS.shape[0], 5, 2)).astype(np.float32)
+_SUBSETS = _subset_table()  # (1140, 3)
+
+
+def _noise_tables() -> np.ndarray:
+    """Per-``n_close`` noise tables replaying the reference's RandomState(42)
+    stream exactly (skidpad_relocalizer.py:38-53: one fresh randn(size,2) draw
+    per *evaluated* trio, in combinations(range(n),3) order, so the value a
+    trio receives depends on how many close cones exist). Exactness matters:
+    the 1e-3 jitter is amplified ~50x by the 3-point circle fit's conditioning
+    into 2-5 cm center shifts — the gap between decimeter and centimeter
+    SE(2) parity."""
+    index_of = {t: i for i, t in enumerate(combinations(range(_N_CLOSEST), 3))}
+    tables = np.zeros((_N_CLOSEST + 1, len(index_of), 3, 2), np.float32)
+    for n in range(3, _N_CLOSEST + 1):
+        rng = np.random.RandomState(42)
+        for trio in combinations(range(n), 3):
+            tables[n, index_of[trio]] = rng.randn(3, 2) * 1e-3
+    return tables
+
+
+_NOISE_TABLES = _noise_tables()  # (21, 1140, 3, 2)
 
 
 def _reference_centers() -> np.ndarray:
@@ -132,23 +155,32 @@ def skidpad_relocalize_once(
 
     # powerset circle fits (:31-64)
     subsets = jnp.asarray(_SUBSETS)
+    width = _SUBSETS.shape[1]
     sub_mask = subsets >= 0
     sub_idx = jnp.clip(subsets, 0, _N_CLOSEST - 1)
     s_rows = sub_idx.shape[0]
-    pts = gl.take_rows(close, sub_idx.reshape(-1)).reshape(s_rows, 5, 2)
+    pts = gl.take_rows(close, sub_idx.reshape(-1)).reshape(s_rows, width, 2)
     member_ok = gl.take_vec(close_ok.astype(jnp.float32), sub_idx.reshape(-1)) > 0.5
-    valid_members = sub_mask & member_ok.reshape(s_rows, 5)
+    valid_members = sub_mask & member_ok.reshape(s_rows, width)
     subset_ok = jnp.all(valid_members == sub_mask, axis=1)  # no padded-invalid member
 
     # mean nearest-neighbour distance inside the subset
-    d2 = geo.cdist_sq(pts, pts)  # (S, 5, 5)
-    pair_ok = sub_mask[:, :, None] & sub_mask[:, None, :] & ~jnp.eye(5, dtype=bool)
+    d2 = geo.cdist_sq(pts, pts)  # (S, W, W)
+    pair_ok = sub_mask[:, :, None] & sub_mask[:, None, :] & ~jnp.eye(width, dtype=bool)
     d2 = jnp.where(pair_ok, d2, jnp.inf)
     nn = jnp.sqrt(jnp.min(d2, axis=-1))  # (S, 5)
     count = jnp.maximum(jnp.sum(sub_mask, axis=1), 1)
     mean_nn = jnp.sum(jnp.where(sub_mask, nn, 0.0), axis=1) / count
 
-    pts_noisy = pts + jnp.asarray(_SUBSET_NOISE)
+    # noise value depends on the traced close-cone count: one-hot row select
+    # over the per-n tables (a (21,)x(21,S*6) contraction, not a gather)
+    n_close = jnp.sum(close_ok.astype(jnp.int32))
+    onehot_n = (jnp.arange(_N_CLOSEST + 1) == n_close).astype(jnp.float32)
+    noise = jnp.einsum(
+        "n,nswc->swc", onehot_n, jnp.asarray(_NOISE_TABLES),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    pts_noisy = pts + noise
     circ = geo.circle_fit(pts_noisy, sub_mask)  # (S, 3)
     center_s, radius_s = circ[:, :2], circ[:, 2]
     resid = jnp.abs(
@@ -171,12 +203,20 @@ def skidpad_relocalize_once(
     order, cvalid = geo.stable_compact(accept, _MAX_CENTERS)
     centers = gl.take_rows(center_s, order)  # (64, 2)
 
+    # DBSCAN(eps=3, min_samples=1) degenerates to connected components of the
+    # <=eps graph (every point is core). Exact components via transitive
+    # closure by path doubling: log2(64) squarings of the reachability
+    # matrix (an f32 MXU matmul each), then label = min reachable index.
     cd = jnp.sqrt(geo.cdist_sq(centers, centers))
-    adj = (cd < _DBSCAN_EPS) & cvalid[:, None] & cvalid[None, :]
-    labels = jnp.where(cvalid, jnp.arange(_MAX_CENTERS), _MAX_CENTERS)
-    for _ in range(8):
-        neigh_min = jnp.min(jnp.where(adj, labels[None, :], _MAX_CENTERS), axis=1)
-        labels = jnp.minimum(labels, neigh_min)
+    adj = (cd <= _DBSCAN_EPS) & cvalid[:, None] & cvalid[None, :]
+    reach = (adj | jnp.eye(_MAX_CENTERS, dtype=bool)).astype(jnp.float32)
+    for _ in range(6):  # 2^6 = 64 >= _MAX_CENTERS hops
+        reach = jnp.minimum(reach @ reach, 1.0)
+    reach_b = reach > 0.0
+    labels = jnp.min(
+        jnp.where(reach_b, jnp.arange(_MAX_CENTERS)[None, :], _MAX_CENTERS), axis=1
+    )
+    labels = jnp.where(cvalid, labels, _MAX_CENTERS)
 
     # per-cluster medians (component-wise, like np.median over members)
     member = (labels[None, :] == labels[:, None]) & cvalid[None, :] & cvalid[:, None]
@@ -195,7 +235,8 @@ def skidpad_relocalize_once(
     score = jnp.where(pair_valid, jnp.abs(_CENTER_SEP - sep), jnp.inf)
     flat = jnp.argmin(score)
     bi, bj = flat // _MAX_CENTERS, flat % _MAX_CENTERS
-    pair_found = (n_clusters > 1) & (jnp.min(score) < 0.5)
+    # reference rejects only if best_distance > 0.5 (skidpad_relocalizer.py:89)
+    pair_found = (n_clusters > 1) & (jnp.min(score) <= 0.5)
 
     cc = gl.take_rows(medians, jnp.stack([bi, bj]))
     c1, c2 = cc[0], cc[1]

@@ -42,6 +42,16 @@ Array = jax.Array
 N_INTERVALS = 48
 N_COEF = N_INTERVALS + 3
 
+# FITPACK's fpcurf adds knots in rounds (roughly doubling) and stops at the
+# FIRST knot set whose least-squares spline meets the SSR budget — the fit's
+# stiffness comes from that fewest-knots rule, not from the smoothing
+# parameter alone (e.g. the skidpad s=0.2 refit settles on 2 interior knots
+# over 25 m and cuts the straight->circle corner by ~8 cm; a dense-knot
+# penalized fit tracks the corner instead, a real parity error). Emulated
+# here with a dyadic ladder of nested uniform bases: the fit picks the
+# coarsest rung whose LSQ SSR fits the budget, then lambda-tunes within it.
+_CANDIDATE_INTERVALS = (3, 6, 12, 24, 48)
+
 _LOG_LAM_LO = -7.0
 # the upper end stops where f32 conditioning of gram + lam*Omega is still
 # sound (cond ~ lam * ||Omega|| / gram_min); the smoother-than-this regime is
@@ -53,23 +63,63 @@ _LOG_LAM_HI = 2.0
 _LAM_GRID = 32
 
 
-def _difference_penalty(order: int) -> np.ndarray:
-    d = np.eye(N_COEF)
+def _difference_penalty(order: int, n_coef: int = N_COEF) -> np.ndarray:
+    d = np.eye(n_coef)
     for _ in range(order):
         d = np.diff(d, axis=0)
     return d.T @ d
 
 
-# Omega: 4th-difference penalty (null space = single cubic) with small lower
-# order terms so that degenerate inputs (< 4 distinct points) fall back to
-# quadratic / linear / constant fits instead of a singular system — mirroring
-# the reference's k = clip(n - 1, 1, 3) degree reduction (spline_fit.py:113).
-_OMEGA = (
-    _difference_penalty(4)
-    + 1e-4 * _difference_penalty(2)
-    + 1e-7 * _difference_penalty(1)
-    + 1e-9 * np.eye(N_COEF)
-)
+def _make_omega(n_coef: int) -> np.ndarray:
+    """Omega: 4th-difference penalty (null space = single cubic) with small
+    lower order terms so that degenerate inputs (< 4 distinct points) fall
+    back to quadratic / linear / constant fits instead of a singular system —
+    mirroring the reference's k = clip(n - 1, 1, 3) degree reduction
+    (spline_fit.py:113)."""
+    return (
+        _difference_penalty(4, n_coef)
+        + 1e-4 * _difference_penalty(2, n_coef)
+        + 1e-7 * _difference_penalty(1, n_coef)
+        + 1e-9 * np.eye(n_coef)
+    )
+
+
+_OMEGA = _make_omega(N_COEF)
+
+
+def _basis_np(t: np.ndarray, n: int) -> np.ndarray:
+    """NumPy mirror of :func:`bspline_basis` (der=0) for import-time algebra."""
+    x = np.clip(t, 0.0, 1.0) * n
+    j = np.clip(np.floor(x), 0, n - 1).astype(int)
+    u = x - j
+    vals = np.stack(
+        [
+            (1 - u) ** 3 / 6.0,
+            (3 * u**3 - 6 * u**2 + 4) / 6.0,
+            (-3 * u**3 + 3 * u**2 + 3 * u + 1) / 6.0,
+            u**3 / 6.0,
+        ],
+        axis=-1,
+    )
+    out = np.zeros((len(t), n + 3))
+    for k in range(4):
+        out[np.arange(len(t)), j + k] += vals[:, k]
+    return out
+
+
+def _refine_matrix(n_coarse: int) -> np.ndarray:
+    """(N_COEF, n_coarse + 3) knot-insertion map: the coarse uniform spline
+    space is nested in the fine one (dyadic refinement), so B_fine @ M equals
+    B_coarse exactly; M is recovered by least squares on a dense grid."""
+    tg = np.linspace(0.0, 1.0, 8 * N_INTERVALS + 7)
+    bf = _basis_np(tg, N_INTERVALS)
+    bc = _basis_np(tg, n_coarse)
+    m, *_ = np.linalg.lstsq(bf, bc, rcond=None)
+    return m
+
+
+_REFINE = {n: _refine_matrix(n).astype(np.float32) for n in _CANDIDATE_INTERVALS}
+_OMEGAS = {n: _make_omega(n + 3) for n in _CANDIDATE_INTERVALS}
 
 
 def _use_pallas_solver() -> bool:
@@ -127,15 +177,15 @@ class SplineFit(NamedTuple):
     ok: Array  # () bool: False mirrors the reference's splprep ValueError
 
 
-def bspline_basis(t: Array, der: int = 0) -> Array:
+def bspline_basis(t: Array, der: int = 0, n: int = N_INTERVALS) -> Array:
     """Uniform cubic B-spline basis matrix at normalized positions t in [0,1].
 
-    Returns (..., N_COEF). Closed-form blending polynomials of the uniform
+    Returns (..., n + 3). Closed-form blending polynomials of the uniform
     cubic B-spline; derivative orders 0..2 supported (w.r.t. the *unnormalized*
     chord parameter handled by caller scaling).
     """
-    x = jnp.clip(t, 0.0, 1.0) * N_INTERVALS
-    j = jnp.clip(jnp.floor(x), 0, N_INTERVALS - 1)
+    x = jnp.clip(t, 0.0, 1.0) * n
+    j = jnp.clip(jnp.floor(x), 0, n - 1)
     u = x - j
 
     if der == 0:
@@ -144,13 +194,13 @@ def bspline_basis(t: Array, der: int = 0) -> Array:
         b2 = (-3 * u**3 + 3 * u**2 + 3 * u + 1) / 6.0
         b3 = u**3 / 6.0
     elif der == 1:
-        scale = N_INTERVALS
+        scale = n
         b0 = -((1 - u) ** 2) / 2.0 * scale
         b1 = (9 * u**2 - 12 * u) / 6.0 * scale
         b2 = (-9 * u**2 + 6 * u + 3) / 6.0 * scale
         b3 = u**2 / 2.0 * scale
     elif der == 2:
-        scale = N_INTERVALS**2
+        scale = n**2
         b0 = (1 - u) * scale
         b1 = (3 * u - 2) * scale
         b2 = (-3 * u + 1) * scale
@@ -160,7 +210,7 @@ def bspline_basis(t: Array, der: int = 0) -> Array:
 
     vals = jnp.stack([b0, b1, b2, b3], axis=-1)  # (..., 4)
     cols = j[..., None] + jnp.arange(4)  # (..., 4)
-    coef_ids = jnp.arange(N_COEF)  # (C,)
+    coef_ids = jnp.arange(n + 3)  # (C,)
     onehot = coef_ids == cols[..., None]  # (..., 4, C)
     return jnp.sum(vals[..., None] * onehot, axis=-2)  # (..., C)
 
@@ -221,53 +271,50 @@ def _fit_single_cubic(t: Array, points: Array, w: Array, n_valid: Array) -> Arra
     return p_xi - h2_6 * ppp_xi
 
 
-def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFit:
-    """Fit a smoothing spline to a masked 2-D trace.
+def _fit_candidate(
+    t: Array, points: Array, w: Array, n_i: int, s_budget: Array
+) -> tuple[Array, Array]:
+    """Penalized fit in the ``n_i``-interval uniform basis.
 
-    Args:
-        points: (P, 2) trace, padded.
-        mask: (P,) validity.
-        smoothing: FITPACK-style SSR budget ``s`` (0 = interpolate).
+    Returns (coef in the FINE basis via knot insertion, LSQ SSR of this
+    basis — the quantity FITPACK's knot loop tests against the budget).
     """
-    w = mask.astype(points.dtype)
-    u, u_max, ok = chord_lengths(points, mask)
-    t = u / jnp.maximum(u_max, 1e-9)
-
-    basis = bspline_basis(t) * w[:, None]  # zero rows for padding
+    c_i = n_i + 3
+    basis_t = bspline_basis(t, n=n_i)
+    basis = basis_t * w[:, None]  # zero rows for padding
     y = points * w[:, None]
 
     # normal equations (MXU matmuls)
     gram = jnp.matmul(basis.T, basis, precision=jax.lax.Precision.HIGHEST)
     rhs = jnp.matmul(basis.T, y, precision=jax.lax.Precision.HIGHEST)
-    omega = jnp.asarray(_OMEGA, points.dtype)
+    omega = jnp.asarray(_OMEGAS[n_i], points.dtype)
 
     # scale lambda by the gram trace so the grid bounds are data-independent
-    scale = jnp.trace(gram) / N_COEF + 1e-12
+    scale = jnp.trace(gram) / c_i + 1e-12
 
     def ssr_of(c: Array) -> Array:
         # HIGHEST precision: the TPU default (bf16 inputs) would round the
         # ~|coords| predictions by ~0.16 m, swamping the ~cm residuals
-        pred = jnp.matmul(bspline_basis(t), c, precision=jax.lax.Precision.HIGHEST)
+        pred = jnp.matmul(basis_t, c, precision=jax.lax.Precision.HIGHEST)
         resid = (pred - points) * w[:, None]
         return jnp.sum(resid * resid, axis=(-2, -1))
 
-    s_budget = jnp.asarray(smoothing, points.dtype)
+    def solve(a: Array, b: Array) -> Array:
+        """a: (..., C, C) SPD, b: (..., C, R)."""
+        if n_i == N_INTERVALS and _use_pallas_solver():
+            # banded (half-bandwidth 4: cubic overlap 3, 4th-diff penalty 4)
+            # -> Pallas lane-batched banded Cholesky on TPU
+            if a.ndim == 2:
+                return _banded_solve(dense_to_band(a)[None], b[None])[0]
+            return _banded_solve(dense_to_band(a), b)
+        chol = jnp.linalg.cholesky(a)
+        return jax.scipy.linalg.cho_solve((chol, True), b)
 
     # one batched solve over the whole lambda grid (serial depth 1)
     log_lams = jnp.linspace(_LOG_LAM_LO, _LOG_LAM_HI, _LAM_GRID, dtype=points.dtype)
     lams = 10.0**log_lams * scale
     a = gram[None, :, :] + lams[:, None, None] * omega[None, :, :]
-    if _use_pallas_solver():
-        # the system is banded (half-bandwidth 4: cubic basis overlap 3,
-        # 4th-difference penalty 4) -> Pallas lane-batched banded Cholesky
-        c_grid = _banded_solve(
-            dense_to_band(a), jnp.broadcast_to(rhs, (_LAM_GRID,) + rhs.shape)
-        )  # (G, C, 2)
-    else:
-        chol = jnp.linalg.cholesky(a)
-        c_grid = jax.scipy.linalg.cho_solve((chol, True), jnp.broadcast_to(
-            rhs, (_LAM_GRID,) + rhs.shape
-        ))  # (G, C, 2)
+    c_grid = solve(a, jnp.broadcast_to(rhs, (_LAM_GRID,) + rhs.shape))  # (G, C, 2)
 
     ssr_grid = ssr_of(c_grid)  # (G,)
     # true SSR(lam) is nondecreasing; running-max removes spurious dips from
@@ -280,7 +327,7 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     best = jnp.where(jnp.any(within), _LAM_GRID - 1 - jnp.argmax(within[::-1]), 0)
     # grid-row selects as one-hot reductions (gathers hit the TPU slow path)
     oh_best = (jnp.arange(_LAM_GRID) == best).astype(points.dtype)
-    c_grid_best = jnp.einsum(
+    c_best = jnp.einsum(
         "g,gcf->cf", oh_best, c_grid, precision=jax.lax.Precision.HIGHEST
     )
 
@@ -303,20 +350,56 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     log_lam_star = ll_best + frac * (pick(oh_hi, log_lams) - ll_best)
     lam_star = 10.0**log_lam_star * scale
     a_star = gram + lam_star * omega
-    if _use_pallas_solver():
-        c_star = _banded_solve(dense_to_band(a_star)[None], rhs[None])[0]
-    else:
-        chol_star = jnp.linalg.cholesky(a_star)
-        c_star = jax.scipy.linalg.cho_solve((chol_star, True), rhs)
+    c_star = solve(a_star, rhs)
     use_star = have_bracket & (ssr_of(c_star) <= s_budget)
-    c_grid_best = jnp.where(use_star, c_star, c_grid_best)
+    c_best = jnp.where(use_star, c_star, c_best)
+
+    # lift to the fine basis (exact: nested dyadic spline spaces)
+    coef_fine = jnp.matmul(
+        jnp.asarray(_REFINE[n_i], points.dtype), c_best,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return coef_fine, ssr_grid[0]
+
+
+def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFit:
+    """Fit a smoothing spline to a masked 2-D trace.
+
+    Args:
+        points: (P, 2) trace, padded.
+        mask: (P,) validity.
+        smoothing: FITPACK-style SSR budget ``s`` (0 = interpolate).
+    """
+    w = mask.astype(points.dtype)
+    u, u_max, ok = chord_lengths(points, mask)
+    t = u / jnp.maximum(u_max, 1e-9)
+    s_budget = jnp.asarray(smoothing, points.dtype)
+
+    # fewest-knots-first ladder (FITPACK fpcurf emulation): fit every rung,
+    # use the coarsest whose *least-squares* SSR meets the budget
+    coefs, lsq_ssrs = zip(
+        *[_fit_candidate(t, points, w, n_i, s_budget) for n_i in _CANDIDATE_INTERVALS]
+    )
+    coefs = jnp.stack(coefs)  # (K, N_COEF, 2)
+    fits_budget = jnp.stack(lsq_ssrs) <= s_budget  # (K,)
+    k = len(_CANDIDATE_INTERVALS)
+    chosen = jnp.where(jnp.any(fits_budget), jnp.argmax(fits_budget), k - 1)
+    oh = (jnp.arange(k) == chosen).astype(points.dtype)
+    c_chosen = jnp.einsum(
+        "k,kcf->cf", oh, coefs, precision=jax.lax.Precision.HIGHEST
+    )
+
+    def ssr_of(c: Array) -> Array:
+        pred = jnp.matmul(bspline_basis(t), c, precision=jax.lax.Precision.HIGHEST)
+        resid = (pred - points) * w[:, None]
+        return jnp.sum(resid * resid, axis=(-2, -1))
 
     # FITPACK's "no interior knots needed" case: when a single cubic satisfies
     # the budget, use it exactly (also sidesteps large-lambda conditioning)
     c_cubic = _fit_single_cubic(t, points, w, jnp.sum(mask))
     cubic_ok = ssr_of(c_cubic) <= s_budget
 
-    c_final = jnp.where(cubic_ok, c_cubic, c_grid_best)
+    c_final = jnp.where(cubic_ok, c_cubic, c_chosen)
     c_final = jnp.where(jnp.isfinite(c_final), c_final, 0.0)
     return SplineFit(coef=c_final, u_max=u_max, ok=ok)
 

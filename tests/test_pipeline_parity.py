@@ -108,7 +108,11 @@ def test_skidpad_replay_parity():
     assert our_planner.relocalization_info is not None, "we never relocalized"
     assert n_checked > 0, "reference never relocalized"
     deviations = np.array(deviations)
-    # relocalization estimates differ slightly (median clustering vs DBSCAN):
-    # require decimeter-level agreement of the tracked path
-    assert np.median(deviations) < 0.25, f"median deviation {np.median(deviations):.3f}"
-    assert deviations.max() < 0.6, f"max deviation {deviations.max():.3f}"
+    # centimeter-grade agreement: the SE(2) estimate matches the reference to
+    # ~1 cm (identical accepted circle trios incl. the RandomState(42) noise
+    # stream, exact DBSCAN-equivalent clustering, measured-lobe path table)
+    # and the FITPACK fewest-knots ladder reproduces the refit's corner
+    # cutting; the residual few-cm tail is the known path table's ~1 cm wiggle
+    # that the reference hardcodes and this repo regenerates
+    assert np.median(deviations) < 0.05, f"median deviation {np.median(deviations):.3f}"
+    assert deviations.max() < 0.2, f"max deviation {deviations.max():.3f}"
