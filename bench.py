@@ -2,10 +2,20 @@
 """Benchmark: full-pipeline path solves/s on the attached TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N, ...}
+
+extra keys: B=1 single-frame latency percentiles vs the reference's ~10 ms
+real-time budget (BASELINE.md), an XLA-reported FLOP estimate per solve and
+the implied fraction of peak (MFU) so the throughput number is grounded in a
+roofline, and a large-map (n_cones=256) throughput figure.
 
 Baseline: the reference runs ~100 solves/s sequentially (10 ms/frame on a
 Jetson Xavier AGX, reference README.md:111 — see BASELINE.md).
+
+Timing forces a device->host fetch of one output element per measured
+block: on remote-attached accelerators `block_until_ready` can return at
+dispatch completion, which silently times the async queue instead of the
+computation.
 """
 
 from __future__ import annotations
@@ -15,14 +25,84 @@ import os
 import time
 from functools import partial
 
+import numpy as np
+
 import jax
 
-from ft_fsd_path_planning_tpu.config import default_config
+from ft_fsd_path_planning_tpu.config import default_config, large_map_config
 from ft_fsd_path_planning_tpu.parallel.batch import batched_step, make_batch_state
 from ft_fsd_path_planning_tpu.parallel.scenarios import make_frame_batch
 from ft_fsd_path_planning_tpu.utils.mission_types import MissionTypes
 
 BASELINE_SOLVES_PER_S = 100.0  # reference: ~10 ms/frame, single thread
+
+# f32 peak per chip; the pipeline runs f32 (HIGHEST-precision matmuls)
+_PEAK_F32_FLOPS = {
+    # device_kind substrings -> peak f32 FLOP/s
+    "v5 lite": 4.93e13,
+    "v5e": 4.93e13,
+    "v5p": 1.15e14,
+    "v4": 6.87e13,
+    "v6": 4.59e14 / 4,
+}
+
+
+def _peak_flops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAK_F32_FLOPS.items():
+        if key in kind:
+            return peak
+    return 4.93e13  # default to v5e-class
+
+
+def _fetch(x) -> float:
+    """Force full execution + one-element device->host fetch."""
+    return float(np.asarray(x[0, -1, 0]))
+
+
+def _throughput(cfg, batch: int, iters: int) -> tuple[float, float]:
+    """Returns (solves/s, flops_per_step from XLA cost analysis)."""
+    states = make_batch_state(cfg, batch)
+    frames = make_frame_batch(cfg, batch, seed=0)
+    step = jax.jit(partial(batched_step, cfg), donate_argnums=(0,))
+
+    try:
+        cost = step.lower(states, frames).compile().cost_analysis()
+        flops_per_step = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:
+        flops_per_step = 0.0
+
+    outs, states = step(states, frames)
+    _fetch(outs.path)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outs, states = step(states, frames)
+    _fetch(outs.path)
+    elapsed = time.perf_counter() - t0
+    return batch * iters / elapsed, flops_per_step
+
+
+def _latency_b1(cfg, n_frames: int) -> dict[str, float]:
+    """Single-frame mode: donated state, per-frame host sync — the
+    real-time-control surface (reference budget ~10 ms/frame)."""
+    states = make_batch_state(cfg, 1)
+    step = jax.jit(partial(batched_step, cfg), donate_argnums=(0,))
+    frames = make_frame_batch(cfg, 1, seed=1)
+    outs, states = step(states, frames)
+    _fetch(outs.path)
+
+    times = []
+    for _ in range(n_frames):
+        t0 = time.perf_counter()
+        outs, states = step(states, frames)
+        _fetch(outs.path)
+        times.append(time.perf_counter() - t0)
+    t = np.asarray(times) * 1e3
+    return {
+        "latency_b1_p50_ms": round(float(np.percentile(t, 50)), 3),
+        "latency_b1_p99_ms": round(float(np.percentile(t, 99)), 3),
+    }
 
 
 def main() -> None:
@@ -30,22 +110,26 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     cfg = default_config(MissionTypes.trackdrive)
-    states = make_batch_state(cfg, batch)
-    frames = make_frame_batch(cfg, batch, seed=0)
+    solves_per_s, flops_per_step = _throughput(cfg, batch, iters)
 
-    step = jax.jit(partial(batched_step, cfg), donate_argnums=(0,))
+    extras: dict[str, object] = {}
+    if flops_per_step > 0:
+        flops_per_solve = flops_per_step / batch
+        achieved = solves_per_s * flops_per_solve
+        extras["flops_per_solve"] = round(flops_per_solve)
+        extras["mfu_pct"] = round(100.0 * achieved / _peak_flops(), 3)
 
-    # warmup / compile
-    outs, states = step(states, frames)
-    jax.block_until_ready(outs.path)
+    extras.update(_latency_b1(cfg, n_frames=int(os.environ.get("BENCH_LAT_FRAMES", "100"))))
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        outs, states = step(states, frames)
-    jax.block_until_ready(outs.path)
-    elapsed = time.perf_counter() - t0
+    # whole-SLAM-map budget (n_cones=256): the workload the <5 cm target is
+    # defined on (reference flattens entire maps, core_trace_sorter.py:37-54)
+    large_solves, _ = _throughput(
+        large_map_config(MissionTypes.trackdrive),
+        int(os.environ.get("BENCH_LARGE_BATCH", "128")),
+        max(iters // 2, 5),
+    )
+    extras["large_map_256_solves_per_s"] = round(large_solves, 1)
 
-    solves_per_s = batch * iters / elapsed
     print(
         json.dumps(
             {
@@ -54,6 +138,7 @@ def main() -> None:
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+                **extras,
             }
         )
     )

@@ -9,6 +9,7 @@ all inside :func:`planner_step`; this class only carries host-side state.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import warnings
 from functools import partial
 from typing import Any, List, Optional, Tuple, Union
@@ -75,6 +76,16 @@ def flatten_cones_by_type(cones: List[FloatArray], n_max: int) -> Tuple[np.ndarr
     return pts, mask
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_step(cfg: PlannerConfig):
+    """One compiled step per config (cfg is a frozen hashable pytree).
+
+    A per-instance ``jax.jit(partial(...))`` would be a fresh callable every
+    construction and recompile the whole pipeline for every PathPlanner —
+    ~30 s per instance on CPU."""
+    return jax.jit(partial(planner_step, cfg))
+
+
 class PathPlanner:
     """Drop-in replacement for the reference PathPlanner."""
 
@@ -89,7 +100,7 @@ class PathPlanner:
             mission, experimental_performance_improvements
         )
         self._state = make_initial_state(self.cfg)
-        self._step = jax.jit(partial(planner_step, self.cfg))
+        self._step = _jitted_step(self.cfg)
         self.global_path: Optional[FloatArray] = None
 
     def _convert_direction_to_array(self, direction: Any) -> FloatArray:

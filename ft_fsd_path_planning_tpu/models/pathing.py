@@ -393,6 +393,8 @@ class PathOutput(NamedTuple):
     centerline: Array  # (CL, 2) aux: center_along_match_connection
     centerline_mask: Array  # (CL,)
     state: PathState
+    ok: Array  # () bool: False = this frame fell back to the previous path
+    too_far: Array  # () bool: path overwritten for being > max dist from car
 
 
 def run_path_calculation(
@@ -483,7 +485,8 @@ def run_path_calculation(
 
     new_state = PathState(prev_path=final, index_along_path=new_index_along_path)
     return PathOutput(
-        path=final, centerline=camc_pts, centerline_mask=camc_mask, state=new_state
+        path=final, centerline=camc_pts, centerline_mask=camc_mask, state=new_state,
+        ok=ok, too_far=too_far,
     )
 
 

@@ -8,6 +8,7 @@ budget, vmaps over frame batches, and shard_maps over device meshes.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -45,6 +46,9 @@ class FrameInput(NamedTuple):
 
 class StepOutput(NamedTuple):
     path: Array  # (H, 4)
+    path_ok: Array  # () bool: False = fell back to the previous path
+    path_too_far: Array  # () bool: overwrite-if-too-far guard fired
+    relocalized: Array  # () bool (always False for trackdrive/autocross)
     sorted_left: Array  # (L, 2)
     sorted_left_mask: Array
     sorted_right: Array
@@ -75,17 +79,24 @@ def _known_global_path(cfg: PlannerConfig) -> pathing.GlobalPathBuffer:
     )
 
 
+def _build_initial_state(cfg: PlannerConfig) -> PlannerState:
+    return PlannerState(
+        path=pathing.initial_path_state(cfg),
+        reloc=relocalization.RelocState.initial(),
+        global_path=pathing.GlobalPathBuffer.empty(GLOBAL_PATH_BUFFER_LEN),
+    )
+
+
+@functools.cache
+def _initial_state_jit(cfg: PlannerConfig):
+    return jax.jit(functools.partial(_build_initial_state, cfg))
+
+
 def make_initial_state(cfg: PlannerConfig) -> PlannerState:
     # jit: built eagerly this is hundreds of tiny dispatches (very slow on
-    # remote-attached accelerators)
-    def build() -> PlannerState:
-        return PlannerState(
-            path=pathing.initial_path_state(cfg),
-            reloc=relocalization.RelocState.initial(),
-            global_path=pathing.GlobalPathBuffer.empty(GLOBAL_PATH_BUFFER_LEN),
-        )
-
-    return jax.jit(build)()
+    # remote-attached accelerators); cached per config so repeated planner
+    # construction doesn't recompile
+    return _initial_state_jit(cfg)()
 
 
 def planner_step(
@@ -191,6 +202,9 @@ def planner_step(
     return (
         StepOutput(
             path=final,
+            path_ok=path_out.ok,
+            path_too_far=path_out.too_far,
+            relocalized=reloc.relocalized,
             sorted_left=sorted_l,
             sorted_left_mask=sorted_l_m,
             sorted_right=sorted_r,

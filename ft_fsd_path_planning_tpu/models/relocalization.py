@@ -19,6 +19,7 @@ TPU-native re-design of the reference relocalizers
 
 from __future__ import annotations
 
+import functools
 from itertools import combinations
 from typing import NamedTuple
 
@@ -118,21 +119,50 @@ def _noise_tables() -> np.ndarray:
 _NOISE_TABLES = _noise_tables()  # (21, 1140, 3, 2)
 
 
+def _circle_fit_np(pts: np.ndarray) -> np.ndarray:
+    """Hyper-fit circle center in NumPy (same algebra as geo.circle_fit's
+    moment form, Newton on the characteristic polynomial) — host-only so the
+    lazy reference-center computation never touches the device (it may first
+    run inside a jit trace, and import-time device work would initialize the
+    XLA backend before `jax.distributed.initialize`)."""
+    mean = pts.mean(axis=0)
+    xc = pts[:, 0] - mean[0]
+    yc = pts[:, 1] - mean[1]
+    zi = xc * xc + yc * yc
+    m = lambda p, q: np.mean(p * q)
+    mxy, mxx, myy = m(xc, yc), m(xc, xc), m(yc, yc)
+    mxz, myz, mzz = m(xc, zi), m(yc, zi), m(zi, zi)
+    mz = mxx + myy
+    cov_xy = mxx * myy - mxy * mxy
+    var_z = mzz - mz * mz
+    a2 = 4 * cov_xy - 3 * mz * mz - mzz
+    a1 = var_z * mz + 4.0 * cov_xy * mz - mxz * mxz - myz * myz
+    a0 = mxz * (mxz * myy - myz * mxy) + myz * (myz * mxx - mxz * mxy) - var_z * cov_xy
+    a22 = a2 + a2
+    x, y = 0.0, a0
+    for _ in range(32):
+        dy = a1 + x * (a22 + 16.0 * x * x)
+        x_new = x - y / (dy if dy != 0 else 1.0)
+        y_new = a0 + x_new * (a1 + x_new * (a2 + 4.0 * x_new * x_new))
+        if x_new == x or not np.isfinite(x_new) or abs(y_new) >= abs(y):
+            break
+        x, y = x_new, y_new
+    det = x * x - x * mz + cov_xy
+    if det == 0:
+        det = 1e-12
+    cx = (mxz * (myy - x) - myz * mxy) / det / 2.0
+    cy = (myz * (mxx - x) - mxz * mxy) / det / 2.0
+    return np.asarray([cx + mean[0], cy + mean[1]])
+
+
+@functools.cache
 def _reference_centers() -> np.ndarray:
     """Circle centers of the known path's two lobes
     (skidpad_relocalizer.py:172-183): [right (y<-2), left (y>2)]."""
     path = BASE_SKIDPAD_PATH
     neg = path[path[:, 1] < -2]
     pos = path[path[:, 1] > 2]
-
-    def fit(pts):
-        out = geo.circle_fit(jnp.asarray(pts, jnp.float32))
-        return np.asarray(out)[:2]
-
-    return np.stack([fit(neg), fit(pos)])
-
-
-_REF_CENTERS = _reference_centers()  # (2, 2) [right, left]
+    return np.stack([_circle_fit_np(neg), _circle_fit_np(pos)]).astype(np.float32)
 
 
 def skidpad_relocalize_once(
@@ -251,8 +281,9 @@ def skidpad_relocalize_once(
     f2 = geo.rotate(c2 - origin_position, -yaw0)
     sides_ok = (f1[1] < 0.0) != (f2[1] < 0.0)
 
-    ref_right = jnp.asarray(_REF_CENTERS[0])
-    ref_left = jnp.asarray(_REF_CENTERS[1])
+    ref_centers = _reference_centers()
+    ref_right = jnp.asarray(ref_centers[0])
+    ref_left = jnp.asarray(ref_centers[1])
 
     translation = ref_right - right_calc
     ref_angle = geo.angle_from_2d_vector(ref_left - ref_right)

@@ -18,6 +18,8 @@ slots. Points are the flattened (N, 3) cone tensor of the frame.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -29,8 +31,10 @@ from ft_fsd_path_planning_tpu.utils.cone_types import ConeTypes
 Array = jax.Array
 
 # cost term weights (cost_function.py:283-284)
-_WEIGHTS = jnp.asarray([1000.0, 200.0, 5000.0, 1000.0, 0.0, 1000.0, 1000.0])
-_WEIGHTS = _WEIGHTS / jnp.sum(_WEIGHTS)
+# normalized on host: import-time device calls would initialize the XLA
+# backend before jax.distributed.initialize can run in multi-host programs
+_WEIGHTS_RAW = np.asarray([1000.0, 200.0, 5000.0, 1000.0, 0.0, 1000.0, 1000.0], np.float32)
+_WEIGHTS = _WEIGHTS_RAW / _WEIGHTS_RAW.sum()
 
 
 def config_points(points_xy: Array, configs: Array) -> Array:

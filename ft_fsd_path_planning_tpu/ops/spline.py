@@ -271,50 +271,127 @@ def _fit_single_cubic(t: Array, points: Array, w: Array, n_valid: Array) -> Arra
     return p_xi - h2_6 * ppp_xi
 
 
-def _fit_candidate(
-    t: Array, points: Array, w: Array, n_i: int, s_budget: Array
-) -> tuple[Array, Array]:
-    """Penalized fit in the ``n_i``-interval uniform basis.
+def _solve_spd_banded(a: Array, b: Array) -> Array:
+    """Solve SPD systems with half-bandwidth <= 4: a (..., C, C), b (..., C, R).
 
-    Returns (coef in the FINE basis via knot insertion, LSQ SSR of this
-    basis — the quantity FITPACK's knot loop tests against the budget).
+    TPU: Pallas lane-batched banded Cholesky (small dense cholesky on TPU
+    lowers to scalar-core loops — the reason the candidate ladder must NOT
+    call jnp.linalg.cholesky per rung). CPU: XLA dense Cholesky.
     """
-    c_i = n_i + 3
-    basis_t = bspline_basis(t, n=n_i)
-    basis = basis_t * w[:, None]  # zero rows for padding
+    if _use_pallas_solver():
+        if a.ndim == 2:
+            return _banded_solve(dense_to_band(a)[None], b[None])[0]
+        return _banded_solve(dense_to_band(a), b)
+    chol = jnp.linalg.cholesky(a)
+    return jax.scipy.linalg.cho_solve((chol, True), b)
+
+
+def _padded_candidate_tables() -> dict[str, np.ndarray]:
+    """Static identity-padded embeddings of every ladder rung into the fine
+    coefficient size, so all rungs share one (K, C, *) batched solve and the
+    chosen rung is a one-hot row select (no data-dependent shapes)."""
+    k = len(_CANDIDATE_INTERVALS)
+    omegas = np.zeros((k, N_COEF, N_COEF), np.float32)
+    refines = np.zeros((k, N_COEF, N_COEF), np.float32)
+    coef_masks = np.zeros((k, N_COEF), np.float32)
+    for ki, n_i in enumerate(_CANDIDATE_INTERVALS):
+        c_i = n_i + 3
+        omegas[ki, :c_i, :c_i] = _OMEGAS[n_i]
+        refines[ki, :, :c_i] = _REFINE[n_i]
+        coef_masks[ki, :c_i] = 1.0
+    return {"omegas": omegas, "refines": refines, "coef_masks": coef_masks}
+
+
+_PADDED = _padded_candidate_tables()
+
+
+def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFit:
+    """Fit a smoothing spline to a masked 2-D trace.
+
+    Args:
+        points: (P, 2) trace, padded.
+        mask: (P,) validity.
+        smoothing: FITPACK-style SSR budget ``s`` (0 = interpolate).
+    """
+    w = mask.astype(points.dtype)
+    u, u_max, ok = chord_lengths(points, mask)
+    t = u / jnp.maximum(u_max, 1e-9)
+    s_budget = jnp.asarray(smoothing, points.dtype)
     y = points * w[:, None]
+    k = len(_CANDIDATE_INTERVALS)
 
-    # normal equations (MXU matmuls)
-    gram = jnp.matmul(basis.T, basis, precision=jax.lax.Precision.HIGHEST)
-    rhs = jnp.matmul(basis.T, y, precision=jax.lax.Precision.HIGHEST)
-    omega = jnp.asarray(_OMEGAS[n_i], points.dtype)
+    # per-rung basis matrices, identity-padded to the fine coefficient count
+    bases = []
+    for n_i in _CANDIDATE_INTERVALS:
+        b_i = bspline_basis(t, n=n_i)  # (P, n_i + 3)
+        pad = N_COEF - (n_i + 3)
+        bases.append(jnp.pad(b_i, ((0, 0), (0, pad))))
+    bases = jnp.stack(bases)  # (K, P, C)
+    bases_w = bases * w[None, :, None]
 
-    # scale lambda by the gram trace so the grid bounds are data-independent
-    scale = jnp.trace(gram) / c_i + 1e-12
+    grams = jnp.einsum(
+        "kpc,kpd->kcd", bases_w, bases_w, precision=jax.lax.Precision.HIGHEST
+    )  # (K, C, C)
+    rhss = jnp.einsum(
+        "kpc,pf->kcf", bases_w, y, precision=jax.lax.Precision.HIGHEST
+    )  # (K, C, 2)
+    omegas = jnp.asarray(_PADDED["omegas"], points.dtype)
+    coef_masks = jnp.asarray(_PADDED["coef_masks"], points.dtype)
+
+    # per-rung lambda scale from the live block's trace; padded diagonal uses
+    # the same scale so the embedded systems stay SPD and well-conditioned
+    c_live = coef_masks.sum(axis=1)  # (K,)
+    scales = (
+        jnp.einsum("kcc->k", grams) / c_live + 1e-12
+    )  # (K,)
+    eye_pad = jnp.eye(N_COEF)[None] * (1.0 - coef_masks)[:, :, None] * (
+        1.0 - coef_masks
+    )[:, None, :] * scales[:, None, None]
+    # keep only the diagonal of the padding block
+    eye_pad = eye_pad * jnp.eye(N_COEF)[None]
+    grams = grams + eye_pad
+
+    def ssr_of_k(c_k: Array) -> Array:
+        """SSR per rung: c_k (K, C, 2) in each rung's own (padded) basis."""
+        pred = jnp.einsum(
+            "kpc,kcf->kpf", bases, c_k, precision=jax.lax.Precision.HIGHEST
+        )
+        resid = (pred - points[None]) * w[None, :, None]
+        return jnp.sum(resid * resid, axis=(-2, -1))
+
+    # fewest-knots-first probe (FITPACK fpcurf emulation): ONE near-LSQ solve
+    # per rung, batched; use the coarsest rung whose LSQ SSR fits the budget
+    lam0 = 10.0**_LOG_LAM_LO * scales
+    a0 = grams + lam0[:, None, None] * omegas
+    c0 = _solve_spd_banded(a0, rhss)  # (K, C, 2)
+    lsq_ssr = ssr_of_k(c0)  # (K,)
+    fits_budget = lsq_ssr <= s_budget
+    chosen = jnp.where(jnp.any(fits_budget), jnp.argmax(fits_budget), k - 1)
+    oh_k = (jnp.arange(k) == chosen).astype(points.dtype)
+
+    # one-hot collapse the chosen rung's system; the lambda-grid runs once
+    sel = lambda v: jnp.einsum(
+        "k,k...->...", oh_k, v, precision=jax.lax.Precision.HIGHEST
+    )
+    gram = sel(grams)
+    rhs = sel(rhss)
+    omega = sel(omegas)
+    basis_sel = sel(bases)  # (P, C)
+    scale = jnp.sum(oh_k * scales)
+    refine_sel = sel(jnp.asarray(_PADDED["refines"], points.dtype))  # (C, C)
 
     def ssr_of(c: Array) -> Array:
         # HIGHEST precision: the TPU default (bf16 inputs) would round the
         # ~|coords| predictions by ~0.16 m, swamping the ~cm residuals
-        pred = jnp.matmul(basis_t, c, precision=jax.lax.Precision.HIGHEST)
+        pred = jnp.matmul(basis_sel, c, precision=jax.lax.Precision.HIGHEST)
         resid = (pred - points) * w[:, None]
         return jnp.sum(resid * resid, axis=(-2, -1))
-
-    def solve(a: Array, b: Array) -> Array:
-        """a: (..., C, C) SPD, b: (..., C, R)."""
-        if n_i == N_INTERVALS and _use_pallas_solver():
-            # banded (half-bandwidth 4: cubic overlap 3, 4th-diff penalty 4)
-            # -> Pallas lane-batched banded Cholesky on TPU
-            if a.ndim == 2:
-                return _banded_solve(dense_to_band(a)[None], b[None])[0]
-            return _banded_solve(dense_to_band(a), b)
-        chol = jnp.linalg.cholesky(a)
-        return jax.scipy.linalg.cho_solve((chol, True), b)
 
     # one batched solve over the whole lambda grid (serial depth 1)
     log_lams = jnp.linspace(_LOG_LAM_LO, _LOG_LAM_HI, _LAM_GRID, dtype=points.dtype)
     lams = 10.0**log_lams * scale
     a = gram[None, :, :] + lams[:, None, None] * omega[None, :, :]
-    c_grid = solve(a, jnp.broadcast_to(rhs, (_LAM_GRID,) + rhs.shape))  # (G, C, 2)
+    c_grid = _solve_spd_banded(a, jnp.broadcast_to(rhs, (_LAM_GRID,) + rhs.shape))
 
     ssr_grid = ssr_of(c_grid)  # (G,)
     # true SSR(lam) is nondecreasing; running-max removes spurious dips from
@@ -350,56 +427,25 @@ def _fit_candidate(
     log_lam_star = ll_best + frac * (pick(oh_hi, log_lams) - ll_best)
     lam_star = 10.0**log_lam_star * scale
     a_star = gram + lam_star * omega
-    c_star = solve(a_star, rhs)
+    c_star = _solve_spd_banded(a_star, rhs)
     use_star = have_bracket & (ssr_of(c_star) <= s_budget)
     c_best = jnp.where(use_star, c_star, c_best)
 
     # lift to the fine basis (exact: nested dyadic spline spaces)
-    coef_fine = jnp.matmul(
-        jnp.asarray(_REFINE[n_i], points.dtype), c_best,
-        precision=jax.lax.Precision.HIGHEST,
+    c_lifted = jnp.matmul(
+        refine_sel, c_best, precision=jax.lax.Precision.HIGHEST
     )
-    return coef_fine, ssr_grid[0]
-
-
-def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFit:
-    """Fit a smoothing spline to a masked 2-D trace.
-
-    Args:
-        points: (P, 2) trace, padded.
-        mask: (P,) validity.
-        smoothing: FITPACK-style SSR budget ``s`` (0 = interpolate).
-    """
-    w = mask.astype(points.dtype)
-    u, u_max, ok = chord_lengths(points, mask)
-    t = u / jnp.maximum(u_max, 1e-9)
-    s_budget = jnp.asarray(smoothing, points.dtype)
-
-    # fewest-knots-first ladder (FITPACK fpcurf emulation): fit every rung,
-    # use the coarsest whose *least-squares* SSR meets the budget
-    coefs, lsq_ssrs = zip(
-        *[_fit_candidate(t, points, w, n_i, s_budget) for n_i in _CANDIDATE_INTERVALS]
-    )
-    coefs = jnp.stack(coefs)  # (K, N_COEF, 2)
-    fits_budget = jnp.stack(lsq_ssrs) <= s_budget  # (K,)
-    k = len(_CANDIDATE_INTERVALS)
-    chosen = jnp.where(jnp.any(fits_budget), jnp.argmax(fits_budget), k - 1)
-    oh = (jnp.arange(k) == chosen).astype(points.dtype)
-    c_chosen = jnp.einsum(
-        "k,kcf->cf", oh, coefs, precision=jax.lax.Precision.HIGHEST
-    )
-
-    def ssr_of(c: Array) -> Array:
-        pred = jnp.matmul(bspline_basis(t), c, precision=jax.lax.Precision.HIGHEST)
-        resid = (pred - points) * w[:, None]
-        return jnp.sum(resid * resid, axis=(-2, -1))
 
     # FITPACK's "no interior knots needed" case: when a single cubic satisfies
     # the budget, use it exactly (also sidesteps large-lambda conditioning)
     c_cubic = _fit_single_cubic(t, points, w, jnp.sum(mask))
-    cubic_ok = ssr_of(c_cubic) <= s_budget
+    pred_cubic = jnp.matmul(
+        bspline_basis(t), c_cubic, precision=jax.lax.Precision.HIGHEST
+    )
+    resid_cubic = (pred_cubic - points) * w[:, None]
+    cubic_ok = jnp.sum(resid_cubic * resid_cubic, axis=(-2, -1)) <= s_budget
 
-    c_final = jnp.where(cubic_ok, c_cubic, c_chosen)
+    c_final = jnp.where(cubic_ok, c_cubic, c_lifted)
     c_final = jnp.where(jnp.isfinite(c_final), c_final, 0.0)
     return SplineFit(coef=c_final, u_max=u_max, ok=ok)
 

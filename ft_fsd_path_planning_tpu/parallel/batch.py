@@ -60,11 +60,40 @@ def batched_replay(cfg: PlannerConfig, states: PlannerState, frames: FrameInput)
 
 
 class BatchMetrics(NamedTuple):
-    """Cross-device aggregated per-batch metrics (psum over the mesh)."""
+    """Cross-device aggregated per-batch metrics (psum over the mesh) —
+    SURVEY.md §5 observability: solve success, fallback-path rate, and the
+    shape statistics a race engineer watches during a run."""
 
     n_frames: Array
     mean_path_length: Array
     mean_abs_curvature: Array
+    # fraction of frames whose path came out of the full solve (False means
+    # the fallback lattice substituted the previous path, pathing.py ok-flag)
+    solve_success_rate: Array
+    # fraction of frames where the overwrite-if-too-far guard fired
+    too_far_rate: Array
+    # fraction of relocalized frames (skidpad/accel missions)
+    relocalized_rate: Array
+
+
+def path_deviation(paths: Array, ref_xy: Array) -> Array:
+    """Per-frame max lateral deviation of (B, H, 4) paths vs (B, R, 2)
+    reference polylines (point-to-segment, on device).
+
+    The parity / regression metric of BASELINE.md (<5 cm vs reference) as a
+    batched program: no host round-trip, psum-able.
+    """
+    a = paths[:, :, 1:3]  # (B, H, 2)
+    p0 = ref_xy[:, :-1, :]  # (B, R-1, 2)
+    seg = ref_xy[:, 1:, :] - p0
+    seg_len2 = jnp.maximum(jnp.sum(seg * seg, axis=-1), 1e-12)  # (B, R-1)
+    rel = a[:, :, None, :] - p0[:, None, :, :]  # (B, H, R-1, 2)
+    t = jnp.clip(
+        jnp.sum(rel * seg[:, None, :, :], axis=-1) / seg_len2[:, None, :], 0.0, 1.0
+    )
+    foot = p0[:, None, :, :] + t[..., None] * seg[:, None, :, :]
+    d2 = jnp.sum((a[:, :, None, :] - foot) ** 2, axis=-1)  # (B, H, R-1)
+    return jnp.sqrt(jnp.min(d2, axis=-1)).max(axis=-1)  # (B,)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -89,12 +118,14 @@ def sharded_batched_step(cfg: PlannerConfig, mesh: Mesh, axis: str = "data"):
         paths = outs.path
         local_n = jnp.asarray(paths.shape[0], jnp.float32)
         n = jax.lax.psum(local_n, axis)
-        path_len = jax.lax.psum(jnp.sum(paths[:, -1, 0]), axis) / n
-        curv = jax.lax.psum(jnp.sum(jnp.abs(paths[:, :, 3])), axis) / (
-            n * paths.shape[1]
-        )
+        psum_mean = lambda v: jax.lax.psum(jnp.sum(v.astype(jnp.float32)), axis) / n
         metrics = BatchMetrics(
-            n_frames=n, mean_path_length=path_len, mean_abs_curvature=curv
+            n_frames=n,
+            mean_path_length=psum_mean(paths[:, -1, 0]),
+            mean_abs_curvature=psum_mean(jnp.mean(jnp.abs(paths[:, :, 3]), axis=1)),
+            solve_success_rate=psum_mean(outs.path_ok),
+            too_far_rate=psum_mean(outs.path_too_far),
+            relocalized_rate=psum_mean(outs.relocalized),
         )
         return outs, new_states, metrics
 

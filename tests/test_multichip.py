@@ -33,31 +33,39 @@ def test_sharded_equals_single_device():
     )
 
     # different XLA partitionings reassociate float ops, which can flip the
-    # 20 m trim boundary by one 0.165 m sample on some batch elements and
-    # shift the theta grid; require tight median agreement and sample-level
-    # worst case
-    diff = np.abs(np.asarray(outs_sharded.path) - np.asarray(outs_single.path))
-    assert np.median(diff) < 1e-3, np.median(diff)
-    assert diff.max() < 0.35, diff.max()
+    # 20 m trim boundary by one 0.165 m sample and shift the theta grid;
+    # compare the curves laterally over the common span — robust to the
+    # razor edge AND 35x tighter than any pointwise bound that must absorb it
+    from tests.test_pathing import path_parity_deviation
+
+    single = np.asarray(outs_single.path)
+    sharded = np.asarray(outs_sharded.path)
+    for i in range(b):
+        dev = path_parity_deviation(single[i], sharded[i])
+        assert dev < 0.01, f"frame {i}: lateral deviation {dev:.4f} m"
     assert float(metrics.n_frames) == b
+    assert 0.0 <= float(metrics.solve_success_rate) <= 1.0
+    assert float(metrics.relocalized_rate) == 0.0  # trackdrive has no relocalizer
 
 
 def test_replay_scan_matches_stepwise():
     import __graft_entry__ as ge
 
     cfg = ge._tiny_config()
-    from ft_fsd_path_planning_tpu.models.planner import make_initial_state, planner_step
+    from ft_fsd_path_planning_tpu.models.facade import _jitted_step
+    from ft_fsd_path_planning_tpu.models.planner import make_initial_state
 
     t = 3
     frames_b = make_frame_batch(cfg, t, seed=5)
 
     state = make_initial_state(cfg)
-    # stepwise
+    # stepwise (jitted: eager tracing would replay the whole pipeline op by op)
+    step = _jitted_step(cfg)
     s = state
     paths = []
     for i in range(t):
         frame = jax.tree.map(lambda x: x[i], frames_b)
-        out, s = planner_step(cfg, s, frame)
+        out, s = step(s, frame)
         paths.append(np.asarray(out.path))
 
     final_state, scan_paths = jax.jit(
