@@ -84,12 +84,39 @@ def noisy_corner(seed: int = 0, sigma: float = 0.12):
     return _lists(left=left, right=right), np.array([0.0, 0.0]), np.array([1.0, 0.0])
 
 
+def hairpin_extreme():
+    """Hairpin with the inner wall's tail shoved into the track (the
+    reference's 'Hairpin Extreme', common.py:175-180: last 7 right cones
+    shifted by (-1, +1)) — stresses the sorter's direction gates and the
+    matcher's discard guard."""
+    cones, pos, direction = hairpin()
+    right = cones[ConeTypes.RIGHT].copy()
+    right[-7:] += [-1.0, 1.0]
+    cones[ConeTypes.RIGHT] = right
+    return cones, pos, direction
+
+
+def wrong_sort():
+    """One-sided cone chain with a long gap and a hook at the end (the
+    reference's 'Wrong sort', common.py:182-188): naive nearest-neighbour
+    ordering jumps the gap and doubles back — the trace sorter must not."""
+    # curving left-side wall ...
+    ang = np.linspace(0.4, 1.9, 8)
+    arc = np.stack([16.0 - 7.0 * np.cos(ang - 0.4), 17.0 - 9.0 * np.sin(2.0 - ang)], axis=1)
+    # ... then a ~7.5 m gap straight down and a hook back toward the wall
+    tail = np.array([[11.5, -7.9], [7.8, -10.7]])
+    left = np.concatenate([arc, tail])
+    return _lists(left=left), np.array([14.0, 18.5]), np.array([0.2, -1.0]) / np.linalg.norm([0.2, -1.0])
+
+
 ALL_SCENARIOS = {
     "straight": straight,
     "simple_corner": simple_corner,
     "corner_missing_blue": corner_missing_blue,
     "corner_missing_yellow": corner_missing_yellow,
     "hairpin": hairpin,
+    "hairpin_extreme": hairpin_extreme,
+    "wrong_sort": wrong_sort,
     "colorless_straight": colorless_straight,
     "noisy_corner": noisy_corner,
 }

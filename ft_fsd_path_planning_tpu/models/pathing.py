@@ -459,12 +459,17 @@ def run_path_calculation(
     n_dense = jnp.where(too_far, h, n_dense)
 
     # ---- MPC chain (:336-378)
-    # early behind-car trim: the global-path branch can fill the whole dense
-    # buffer (car sits at 1/3 of a 60 m window), leaving no room for the
-    # connect/extend steps. Points strictly before the closest-to-car sample
-    # are removed by _remove_path_behind_car later anyway, so dropping them
-    # first is semantics-preserving and frees buffer headroom.
-    dense, n_dense = _remove_path_behind_car(dense, n_dense, inp.position)
+    # early behind-car trim, global-path branch ONLY: that branch can fill
+    # the whole dense buffer (car sits at 1/3 of a 60 m window), leaving no
+    # room for the connect/extend steps; there the trim is semantics-
+    # preserving because the car is ON the path. In the matches/fallback
+    # branch the reference trims only AFTER connect_path_to_car — when the
+    # previous path lies far away (total sorting failure), the closest
+    # sample is the car-adjacent prepended point and nothing is removed,
+    # while an early trim would cut the path body and change the output.
+    dense_t, n_dense_t = _remove_path_behind_car(dense, n_dense, inp.position)
+    dense = jnp.where(gp.active, dense_t, dense)
+    n_dense = jnp.where(gp.active, n_dense_t, n_dense)
 
     p1, n1 = _connect_path_to_car(dense, n_dense, inp.position, inp.direction)
     p2, n2 = _extend_path(p1, n1, inp.position, inp.direction, cfg.path.mpc_path_length)

@@ -225,6 +225,33 @@ def segments_intersect(
     return proper | collinear_touch
 
 
+def polyline_self_intersections(points: Array, mask: Array) -> Array:
+    """Count intersecting non-adjacent segment pairs of a masked polyline.
+
+    Batched re-design of the reference's per-config self-intersection
+    counters (line_segment_intersection.py:320-441, used by its sorting
+    debug page): all segment pairs are tested at once with the orientation
+    predicate; adjacent pairs (sharing an endpoint) are excluded, matching
+    the reference's number_of_intersections_in_configuration semantics.
+    Broadcasts over leading batch axes of ``points`` (..., L, 2) / ``mask``
+    (..., L).
+    """
+    a_start = points[..., :-1, :]
+    a_end = points[..., 1:, :]
+    seg_ok = mask[..., :-1] & mask[..., 1:]
+    hit = segments_intersect(
+        a_start[..., :, None, :],
+        a_end[..., :, None, :],
+        a_start[..., None, :, :],
+        a_end[..., None, :, :],
+    )
+    m = points.shape[-2] - 1
+    i = jnp.arange(m)
+    non_adjacent = jnp.abs(i[:, None] - i[None, :]) > 1
+    pair_ok = seg_ok[..., :, None] & seg_ok[..., None, :] & non_adjacent
+    return jnp.sum(hit & pair_ok, axis=(-2, -1)) // 2
+
+
 def masked_median(values: Array, mask: Array, axis: int = -1) -> Array:
     """Median over the masked elements (matches np.median incl. even-count mean)."""
     big = jnp.finfo(values.dtype).max

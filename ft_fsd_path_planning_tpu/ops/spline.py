@@ -320,20 +320,29 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     y = points * w[:, None]
     k = len(_CANDIDATE_INTERVALS)
 
-    # per-rung basis matrices, identity-padded to the fine coefficient count
-    bases = []
-    for n_i in _CANDIDATE_INTERVALS:
-        b_i = bspline_basis(t, n=n_i)  # (P, n_i + 3)
-        pad = N_COEF - (n_i + 3)
-        bases.append(jnp.pad(b_i, ((0, 0), (0, pad))))
-    bases = jnp.stack(bases)  # (K, P, C)
-    bases_w = bases * w[None, :, None]
+    # ONE fine basis build; every rung's normal equations are exact small
+    # projections of it (nested dyadic spaces: B_k = B_fine @ M_k, so
+    # B_k^T W B_k = M_k^T G_fine M_k) — no per-rung basis evaluation
+    basis48 = bspline_basis(t)  # (P, C)
+    basis48_w = basis48 * w[:, None]
+    gram48 = jnp.matmul(
+        basis48_w.T, basis48_w, precision=jax.lax.Precision.HIGHEST
+    )  # (C, C)
+    rhs48 = jnp.matmul(
+        basis48_w.T, y, precision=jax.lax.Precision.HIGHEST
+    )  # (C, 2)
 
-    grams = jnp.einsum(
-        "kpc,kpd->kcd", bases_w, bases_w, precision=jax.lax.Precision.HIGHEST
-    )  # (K, C, C)
-    rhss = jnp.einsum(
-        "kpc,pf->kcf", bases_w, y, precision=jax.lax.Precision.HIGHEST
+    refines = jnp.asarray(_PADDED["refines"], points.dtype)  # (K, C, C)
+    # refines[k] maps coarse -> fine (rows = fine index, cols = coarse index);
+    # two explicit pairwise matmuls — a 3-operand einsum here compiled
+    # pathologically on the TPU backend
+    refines_t = jnp.swapaxes(refines, -1, -2)  # (K, C coarse, C fine)
+    gm = jnp.matmul(
+        refines_t, gram48, precision=jax.lax.Precision.HIGHEST
+    )  # (K, Cc, Cf)
+    grams = jnp.matmul(gm, refines, precision=jax.lax.Precision.HIGHEST)  # (K, C, C)
+    rhss = jnp.matmul(
+        refines_t, rhs48, precision=jax.lax.Precision.HIGHEST
     )  # (K, C, 2)
     omegas = jnp.asarray(_PADDED["omegas"], points.dtype)
     coef_masks = jnp.asarray(_PADDED["coef_masks"], points.dtype)
@@ -344,18 +353,16 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     scales = (
         jnp.einsum("kcc->k", grams) / c_live + 1e-12
     )  # (K,)
-    eye_pad = jnp.eye(N_COEF)[None] * (1.0 - coef_masks)[:, :, None] * (
-        1.0 - coef_masks
-    )[:, None, :] * scales[:, None, None]
-    # keep only the diagonal of the padding block
-    eye_pad = eye_pad * jnp.eye(N_COEF)[None]
+    eye_pad = (
+        jnp.eye(N_COEF)[None] * (1.0 - coef_masks)[:, None, :] * scales[:, None, None]
+    )
     grams = grams + eye_pad
 
     def ssr_of_k(c_k: Array) -> Array:
-        """SSR per rung: c_k (K, C, 2) in each rung's own (padded) basis."""
-        pred = jnp.einsum(
-            "kpc,kcf->kpf", bases, c_k, precision=jax.lax.Precision.HIGHEST
-        )
+        """SSR per rung: c_k (K, C, 2) in each rung's own (padded) basis;
+        predictions ride the fine basis on the lifted coefficients."""
+        lifted = jnp.matmul(refines, c_k, precision=jax.lax.Precision.HIGHEST)
+        pred = jnp.matmul(basis48, lifted, precision=jax.lax.Precision.HIGHEST)
         resid = (pred - points[None]) * w[None, :, None]
         return jnp.sum(resid * resid, axis=(-2, -1))
 
@@ -376,14 +383,14 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     gram = sel(grams)
     rhs = sel(rhss)
     omega = sel(omegas)
-    basis_sel = sel(bases)  # (P, C)
     scale = jnp.sum(oh_k * scales)
-    refine_sel = sel(jnp.asarray(_PADDED["refines"], points.dtype))  # (C, C)
+    refine_sel = sel(refines)  # (C fine, C coarse)
 
     def ssr_of(c: Array) -> Array:
         # HIGHEST precision: the TPU default (bf16 inputs) would round the
         # ~|coords| predictions by ~0.16 m, swamping the ~cm residuals
-        pred = jnp.matmul(basis_sel, c, precision=jax.lax.Precision.HIGHEST)
+        lifted = jnp.matmul(refine_sel, c, precision=jax.lax.Precision.HIGHEST)
+        pred = jnp.matmul(basis48, lifted, precision=jax.lax.Precision.HIGHEST)
         resid = (pred - points) * w[:, None]
         return jnp.sum(resid * resid, axis=(-2, -1))
 
@@ -440,7 +447,7 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     # the budget, use it exactly (also sidesteps large-lambda conditioning)
     c_cubic = _fit_single_cubic(t, points, w, jnp.sum(mask))
     pred_cubic = jnp.matmul(
-        bspline_basis(t), c_cubic, precision=jax.lax.Precision.HIGHEST
+        basis48, c_cubic, precision=jax.lax.Precision.HIGHEST
     )
     resid_cubic = (pred_cubic - points) * w[:, None]
     cubic_ok = jnp.sum(resid_cubic * resid_cubic, axis=(-2, -1)) <= s_budget

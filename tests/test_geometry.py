@@ -151,3 +151,43 @@ def test_trace_angles_between():
     got = np.asarray(geo.trace_angles_between(jnp.asarray(trace, jnp.float32)))
     want = ref_math.trace_angles_between(trace)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_polyline_self_intersections():
+    import itertools
+
+    import jax
+
+    from ft_fsd_path_planning_tpu.ops import geometry as geo
+
+    rng = np.random.default_rng(0)
+
+    def brute(pts):
+        segs = [(pts[i], pts[i + 1]) for i in range(len(pts) - 1)]
+        n = 0
+        for (i, (a0, a1)), (j, (b0, b1)) in itertools.combinations(
+            enumerate(segs), 2
+        ):
+            if abs(i - j) <= 1:
+                continue
+            d1 = np.cross(b1 - b0, a0 - b0)
+            d2 = np.cross(b1 - b0, a1 - b0)
+            d3 = np.cross(a1 - a0, b0 - a0)
+            d4 = np.cross(a1 - a0, b1 - a0)
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                n += 1
+        return n
+
+    fn = jax.jit(geo.polyline_self_intersections)
+    # a known figure-eight: exactly one crossing
+    fig8 = np.array([[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0]], np.float32)
+    assert int(fn(jnp.asarray(fig8), jnp.ones(4, bool))) == 1
+
+    for _ in range(20):
+        n = int(rng.integers(4, 10))
+        pts = rng.normal(0, 3, (n, 2)).astype(np.float32)
+        pad = np.zeros((12, 2), np.float32)
+        pad[:n] = pts
+        mask = np.arange(12) < n
+        got = int(fn(jnp.asarray(pad), jnp.asarray(mask)))
+        assert got == brute(pts.astype(np.float64)), (got, brute(pts))

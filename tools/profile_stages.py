@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 from functools import partial
 
 import jax
@@ -22,13 +24,21 @@ from ft_fsd_path_planning_tpu.parallel.scenarios import make_frame_batch
 from ft_fsd_path_planning_tpu.utils.mission_types import MissionTypes
 
 
+def _fetch(out):
+    """Force full execution: on the remote-attached chip block_until_ready
+    can return at dispatch completion."""
+    import numpy as np
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
 def bench(name, fn, *args, iters=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:32s} {dt * 1e3:9.2f} ms/iter")
     return out, dt
