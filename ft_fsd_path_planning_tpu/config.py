@@ -30,9 +30,14 @@ class SortingConfig:
     threshold_absolute_angle: float = math.radians(65.0)
     use_unknown_cones: bool = True
     # beam width of the fixed-shape search that replaces the reference's
-    # exhaustive DFS (end_configurations.py:320-431). Larger K = closer to
-    # exhaustive enumeration.
-    beam_width: int = 64
+    # exhaustive DFS (end_configurations.py:320-431). Data-justified default
+    # (BEAM_FIDELITY.md): across 600 adversarial side-searches the DFS's
+    # per-depth viable frontier never exceeded 16 — the reference's own
+    # pruning gates keep the search narrow — so K=32 holds every viable
+    # candidate with 2x headroom and matched the exhaustive winner on all of
+    # them, at ~26% less sorting time than K=64. Raise for custom gate
+    # configurations that loosen the pruning envelope.
+    beam_width: int = 32
     # pruning constants hard-coded inside the reference DFS
     car_size: float = 2.1  # find_configs_and_scores.py:93
     ellipse_major: float = 6.0  # end_configurations.py:282-300

