@@ -19,4 +19,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compilation cache: planner-step compiles dominate suite time;
+# warm re-runs skip them entirely (the dir is gitignored, machine-local)
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 assert jax.device_count() == 8, jax.devices()

@@ -25,8 +25,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+_CACHE_DIR = str(Path(__file__).resolve().parent.parent / ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from ft_fsd_path_planning_tpu.config import default_config  # noqa: E402
 from ft_fsd_path_planning_tpu.parallel.batch import sharded_batched_step  # noqa: E402
 from ft_fsd_path_planning_tpu.parallel.distributed import (  # noqa: E402
     global_mesh,
@@ -36,7 +39,6 @@ from ft_fsd_path_planning_tpu.parallel.distributed import (  # noqa: E402
     make_global_state,
 )
 from ft_fsd_path_planning_tpu.parallel.scenarios import make_frame_batch  # noqa: E402
-from ft_fsd_path_planning_tpu.utils.mission_types import MissionTypes  # noqa: E402
 
 GLOBAL_BATCH = 8
 
@@ -44,7 +46,9 @@ initialize_distributed(f"localhost:{port}", nproc, pid)
 assert jax.process_count() == nproc, jax.process_count()
 assert jax.device_count() == 4 * nproc, jax.device_count()
 
-cfg = default_config(MissionTypes.trackdrive)
+import __graft_entry__  # noqa: E402  (repo root on sys.path via cwd)
+
+cfg = __graft_entry__._tiny_config()
 mesh = global_mesh()
 
 # deterministic global workload; this process materializes ONLY its rows

@@ -67,9 +67,10 @@ def test_two_process_distributed(tmp_path):
     )
 
     # single-process reference: same shard_map program on the 8-device mesh
+    import __graft_entry__
     from ft_fsd_path_planning_tpu.parallel.batch import make_mesh
 
-    cfg = default_config(MissionTypes.trackdrive)
+    cfg = __graft_entry__._tiny_config()
     mesh = make_mesh()
     frames = make_frame_batch(cfg, GLOBAL_BATCH, seed=0)
     states = make_batch_state(cfg, GLOBAL_BATCH)
