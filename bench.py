@@ -106,6 +106,13 @@ def _latency_b1(cfg, n_frames: int) -> dict[str, float]:
 
 
 def main() -> None:
+    # persistent compilation cache: the three bench programs (batch, B=1,
+    # large-map) dominate cold wall time; repeat runs skip the compiles
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
