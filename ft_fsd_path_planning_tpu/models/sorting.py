@@ -507,116 +507,224 @@ def _beam_search_side(
         out_configs = jnp.round(feats_t[:, :l]).astype(jnp.int32)
         return out_configs, alive[0] > 0.5
 
-    def step(_, st: _BeamState) -> _BeamState:
-        # expand the whole beam front with ONE one-hot contraction:
-        # node_table row = [idx | ok | x | y], each block of width C
-        row = gl.take_rows(node_table, st.last_idx)  # (K, 4C)
-        cand_idx = jnp.round(row[:, :c]).astype(jnp.int32)  # (K, C)
-        can0 = row[:, c : 2 * c] > 0.5
-        cand = jnp.stack([row[:, 2 * c : 3 * c], row[:, 3 * c :]], axis=-1)  # (K,C,2)
+    # ------------------------------------------------------------------
+    # Lane-friendly column layout. TPU tiling pads the LAST axis to 128
+    # lanes, so every (K, C=5) or (*, 2) tensor crossing a fusion boundary
+    # materializes 25-64x padded in HBM — measured to dominate the whole
+    # step. The loop therefore carries ONE (F, K) feature matrix whose rows
+    # are (K,)-shaped columns, and all candidate math runs on per-neighbor
+    # LISTS of (K,) arrays (python-unrolled over C=5); the pool re-selection
+    # stays a single top_k + one-hot matmul.
+    # ------------------------------------------------------------------
+    w = sorting_cost._WEIGHTS
+    sgn = _left_sign(cone_type)
+    under_angle = jnp.deg2rad(40.0)
+    cos_between = jnp.cos(cfg.between_angle)
+    dnorm = car_direction / jnp.linalg.norm(car_direction)
+    car_sx, car_sy = car_position - dnorm * cfg.car_size / 2
+    car_ex, car_ey = car_position + dnorm * cfg.car_size
+    cp_x, cp_y = car_position[0], car_position[1]
+    cd_x, cd_y = car_direction[0], car_direction[1]
 
-        can, theta, seg_len, diff = _extension_gates(
-            cfg, cand, cand_idx, can0, st, cone_type, car_position, car_direction
+    def partial_score(length, angle_sum, n_under, residual, init_cost, wrong_sum):
+        n_int = jnp.maximum(length - 2.0, 1.0)
+        return (
+            w[0] * angle_sum / n_int * (n_under + 1.0)
+            + w[1] * residual
+            + w[2] / jnp.maximum(length, 1.0)
+            + w[3] * init_cost
+            + w[6] * jnp.abs(wrong_sum) * (length >= 4.0)
         )
-        expandable = st.alive & ~st.done & (st.lengths < target_length)
-        can = can & expandable[:, None]
 
-        # children carries, all (K, C)
-        p = st.lengths - 1
-        add_interior = (p >= 1)[:, None]
-        c_angle_sum = st.angle_sum[:, None] + jnp.where(
-            add_interior, (jnp.pi - theta) / jnp.pi, 0.0
-        )
-        c_n_under = st.n_under[:, None] + (
-            add_interior & (theta < jnp.deg2rad(40.0))
-        ).astype(jnp.int32)
-        c_residual = st.residual[:, None] + jnp.maximum(0.0, seg_len - 3.0)
-        c_init = jnp.where(
-            (p == 0)[:, None],
-            geo.vec_angle_between(cand - st.first_pos[:, None, :], car_direction),
-            st.init_cost[:, None],
-        )
-        unwanted = _left_sign(cone_type)
-        wrong_inc = jnp.where(
-            (jnp.sign(diff) == unwanted) & (jnp.abs(diff) > jnp.deg2rad(40.0)), diff, 0.0
-        )
-        c_wrong = st.wrong_sum[:, None] + jnp.where(add_interior, wrong_inc, 0.0)
+    def step(_, carry):
+        feats_t, alive = carry  # (F, K) f32, (K,) bool
+        configs = [feats_t[j] for j in range(l)]
+        lengths = feats_t[l]
+        done = feats_t[l + 1] > 0.5
+        angle_sum, n_under = feats_t[l + 2], feats_t[l + 3]
+        residual, init_cost = feats_t[l + 4], feats_t[l + 5]
+        wrong_sum, last_idx = feats_t[l + 6], feats_t[l + 7]
+        last_x, last_y = feats_t[l + 8], feats_t[l + 9]
+        prev_x, prev_y = feats_t[l + 10], feats_t[l + 11]
+        prev2_x, prev2_y = feats_t[l + 12], feats_t[l + 13]
+        first_x, first_y = feats_t[l + 14], feats_t[l + 15]
+        p = lengths - 1.0
 
-        c_len = st.lengths[:, None] + 1
-        n_interior_c = jnp.maximum(c_len - 2, 1)
-        w = sorting_cost._WEIGHTS
-        c_score = (
-            w[0] * c_angle_sum / n_interior_c * (c_n_under + 1)
-            + w[1] * c_residual
-            + w[2] / jnp.maximum(c_len, 1)
-            + w[3] * c_init
-            + w[6] * jnp.abs(c_wrong) * (c_len >= 4)
-        )
-        c_score = jnp.where(can, c_score, _INF)
+        # expansion: ONE one-hot contraction, then (K,) column views
+        row = gl.take_rows(node_table, jnp.round(last_idx).astype(jnp.int32))
+        cand_idx = [row[:, j] for j in range(c)]
+        can0 = [row[:, c + j] > 0.5 for j in range(c)]
+        cx = [row[:, 2 * c + j] for j in range(c)]
+        cy = [row[:, 3 * c + j] for j in range(c)]
+
+        # shared tail geometry
+        mjx, mjy = last_x - prev_x, last_y - prev_y
+        inv = jax.lax.rsqrt(jnp.maximum(mjx * mjx + mjy * mjy, 1e-24))
+        umx, umy = mjx * inv, mjy * inv  # ellipse major direction
+        ppx, ppy = prev_x - prev2_x, prev_y - prev2_y
+        diff2 = jnp.arctan2(ppx * mjy - ppy * mjx, ppx * mjx + ppy * mjy)
+        d_ml = [
+            jnp.sqrt((last_x - cx[m]) ** 2 + (last_y - cy[m]) ** 2) for m in range(c)
+        ]
+
+        expandable = alive & ~done & (lengths < target_length)
+
+        can, theta, seg_len, diff = [], [], [], []
+        for j in range(c):
+            relx, rely = cx[j] - last_x, cy[j] - last_y
+            # 1. not already in config
+            in_cfg = configs[0] == cand_idx[j]
+            for jj in range(1, l):
+                in_cfg = in_cfg | (configs[jj] == cand_idx[j])
+            ok = can0[j] & ~in_cfg
+            # 2. ellipse gate (p >= 1)
+            xr = relx * umx + rely * umy
+            yr = umx * rely - umy * relx
+            ell = (xr / cfg.ellipse_major) ** 2 + (yr / cfg.ellipse_minor) ** 2 < 1.0
+            ok = ok & (ell | (p < 1.0))
+            # 3. second cone on correct side (p == 0)
+            ccx, ccy = cx[j] - cp_x, cy[j] - cp_y
+            dsign = jnp.arctan2(cd_x * ccy - cd_y * ccx, cd_x * ccx + cd_y * ccy)
+            side_ok = (jnp.sign(dsign) == sgn) | (jnp.abs(dsign) < jnp.deg2rad(5.0))
+            ok = ok & (side_ok | (p != 0.0))
+            # 4. no cone skipped between last and candidate
+            blocked = jnp.zeros_like(ok)
+            for m in range(c):
+                vmcx, vmcy = cx[j] - cx[m], cy[j] - cy[m]
+                d_mc = jnp.sqrt(vmcx * vmcx + vmcy * vmcy)
+                v_mlx, v_mly = last_x - cx[m], last_y - cy[m]
+                dots = v_mlx * vmcx + v_mly * vmcy
+                blocked = blocked | (
+                    can0[m]
+                    & (cand_idx[j] != cand_idx[m])
+                    & (d_mc < cfg.between_dist)
+                    & (d_ml[m] < cfg.between_dist)
+                    & (dots < cos_between * d_ml[m] * d_mc)
+                )
+            ok = ok & ~blocked
+            # 5. direction-change thresholds (p >= 1)
+            dj = jnp.arctan2(mjx * rely - mjy * relx, mjx * relx + mjy * rely)
+            sl = jnp.sqrt(relx * relx + rely * rely)
+            abs_ok = jnp.abs(dj) <= cfg.threshold_absolute_angle
+            directional = (sgn * dj < cfg.threshold_directional_angle) | (
+                sl < cfg.close_cone_dist
+            )
+            ok = ok & ((abs_ok & directional) | (p < 1.0))
+            # 6. flip-kill (p >= 2)
+            flip = (jnp.sign(dj) != jnp.sign(diff2)) & (jnp.abs(dj - diff2) > 1.3)
+            ok = ok & (~flip | (p < 2.0))
+            # 7. offset from start (p == 1)
+            off_ok = cd_x * (cx[j] - first_x) + cd_y * (cy[j] - first_y) > 0.0
+            ok = ok & (off_ok | (p != 1.0))
+            # 8. no car-body crossing
+            crosses = geo.segments_intersect(
+                jnp.stack([last_x, last_y], -1), jnp.stack([cx[j], cy[j]], -1),
+                jnp.stack([car_sx, car_sy]), jnp.stack([car_ex, car_ey]),
+            )
+            ok = ok & ~crosses & expandable
+
+            can.append(ok)
+            theta.append(
+                geo.vec_angle_between(
+                    jnp.stack([prev_x - last_x, prev_y - last_y], -1),
+                    jnp.stack([relx, rely], -1),
+                )
+            )
+            seg_len.append(sl)
+            diff.append(dj)
+
+        # children carries + scores, per neighbor column
+        add_int = p >= 1.0
+        c_len = lengths + 1.0
+        n_int_c = jnp.maximum(c_len - 2.0, 1.0)
+        scores_children = []
+        child_carries = []
+        for j in range(c):
+            a_sum = angle_sum + jnp.where(add_int, (jnp.pi - theta[j]) / jnp.pi, 0.0)
+            nu = n_under + jnp.where(add_int & (theta[j] < under_angle), 1.0, 0.0)
+            res = residual + jnp.maximum(0.0, seg_len[j] - 3.0)
+            f_ang = geo.vec_angle_between(
+                jnp.stack([cx[j] - first_x, cy[j] - first_y], -1), car_direction
+            )
+            ini = jnp.where(p == 0.0, f_ang, init_cost)
+            wr = wrong_sum + jnp.where(
+                add_int
+                & (jnp.sign(diff[j]) == sgn)
+                & (jnp.abs(diff[j]) > under_angle),
+                diff[j],
+                0.0,
+            )
+            sc = partial_score(c_len, a_sum, nu, res, ini, wr)
+            scores_children.append(jnp.where(can[j], sc, _INF))
+            child_carries.append((a_sum, nu, res, ini, wr))
 
         # parents that could not expand become leaves
-        newly_done = expandable & ~jnp.any(can, axis=1)
-        done = st.done | newly_done
-        frozen = st.alive & (done | ~expandable)
-        parent_score = jnp.where(frozen, _partial_score(cfg, st), _INF)
-
-        # pool: K frozen parents + K*C children -> best K. All per-survivor
-        # state is packed into one float feature matrix and re-selected with
-        # a single one-hot matmul (indices/lengths < 2**24 are exact in f32).
-        child_configs = jnp.where(
-            jnp.arange(l)[None, None, :] == st.lengths[:, None, None],
-            cand_idx[:, :, None],
-            st.configs[:, None, :],
-        )  # (K, C, L)
-        f32 = lambda a: a.astype(jnp.float32)
-        ccol = lambda a: f32(a)[..., None]
-        bc = lambda a: jnp.broadcast_to(a[:, None, :], (k, c, 2))
-        parent_feats = _pack_state_feats(st._replace(done=done))  # (K, L+16)
-        child_feats = jnp.concatenate(
-            [
-                f32(child_configs),
-                jnp.broadcast_to(ccol(c_len), (k, c, 1)),
-                jnp.zeros((k, c, 1)),  # done
-                ccol(c_angle_sum),
-                ccol(c_n_under),
-                ccol(c_residual),
-                ccol(c_init),
-                ccol(c_wrong),
-                ccol(cand_idx),  # last_idx'
-                cand,  # last_pos'
-                bc(st.last_pos),  # prev'
-                bc(st.prev_pos),  # prev2'
-                bc(st.first_pos),
-            ],
-            axis=-1,
-        ).reshape(k * c, -1)
-
-        pool_feats = jnp.concatenate([parent_feats, child_feats], axis=0)
-        pool_scores = jnp.concatenate([parent_score, c_score.reshape(-1)])
-        neg_best, sel = jax.lax.top_k(-pool_scores, k)
-        sel_valid = jnp.isfinite(neg_best)
-        feats = gl.take_rows(pool_feats, sel)  # (K, L+16)
-
-        iround = lambda a: jnp.round(a).astype(jnp.int32)
-        return _BeamState(
-            configs=jnp.where(sel_valid[:, None], iround(feats[:, :l]), -1),
-            lengths=jnp.where(sel_valid, iround(feats[:, l]), 0),
-            alive=sel_valid,
-            done=(feats[:, l + 1] > 0.5) & sel_valid,
-            angle_sum=feats[:, l + 2],
-            n_under=iround(feats[:, l + 3]),
-            residual=feats[:, l + 4],
-            init_cost=feats[:, l + 5],
-            wrong_sum=feats[:, l + 6],
-            last_idx=jnp.where(sel_valid, iround(feats[:, l + 7]), -1),
-            last_pos=feats[:, l + 8 : l + 10],
-            prev_pos=feats[:, l + 10 : l + 12],
-            prev2_pos=feats[:, l + 12 : l + 14],
-            first_pos=feats[:, l + 14 : l + 16],
+        any_can = can[0]
+        for j in range(1, c):
+            any_can = any_can | can[j]
+        newly_done = expandable & ~any_can
+        done2 = done | newly_done
+        frozen = alive & (done2 | ~expandable)
+        parent_score = jnp.where(
+            frozen,
+            partial_score(lengths, angle_sum, n_under, residual, init_cost, wrong_sum),
+            _INF,
         )
 
-    st = jax.lax.fori_loop(0, l - 1, step, st)
-    return st.configs, st.alive
+        # pool: K frozen parents + C neighbor blocks of K children each
+        # (j-major), packed column-wise -> (P, F); re-selected with one
+        # top_k + one one-hot matmul
+        def pool_col(parent_col, child_cols):
+            return jnp.concatenate([parent_col] + child_cols)
+
+        cols = []
+        for jj in range(l):
+            cols.append(pool_col(
+                configs[jj],
+                [jnp.where(lengths == float(jj), cand_idx[j], configs[jj])
+                 for j in range(c)],
+            ))
+        cols.append(pool_col(lengths, [c_len] * c))
+        cols.append(pool_col(done2.astype(jnp.float32),
+                             [jnp.zeros(k)] * c))
+        for fi, name in enumerate(("a_sum", "nu", "res", "ini", "wr")):
+            cols.append(pool_col(
+                (angle_sum, n_under, residual, init_cost, wrong_sum)[fi],
+                [child_carries[j][fi] for j in range(c)],
+            ))
+        cols.append(pool_col(last_idx, cand_idx))
+        cols.append(pool_col(last_x, cx))
+        cols.append(pool_col(last_y, cy))
+        cols.append(pool_col(prev_x, [last_x] * c))
+        cols.append(pool_col(prev_y, [last_y] * c))
+        cols.append(pool_col(prev2_x, [prev_x] * c))
+        cols.append(pool_col(prev2_y, [prev_y] * c))
+        cols.append(pool_col(first_x, [first_x] * c))
+        cols.append(pool_col(first_y, [first_y] * c))
+        pool_feats = jnp.stack(cols, axis=-1)  # (P, F)
+
+        pool_scores = jnp.concatenate([parent_score] + scores_children)
+        neg_best, sel = jax.lax.top_k(-pool_scores, k)
+        sel_valid = jnp.isfinite(neg_best)
+        feats = gl.take_rows(pool_feats, sel)  # (K, F)
+
+        new_feats_t = jnp.transpose(feats)  # (F, K)
+        invalid = ~sel_valid
+        # invalid slots: configs -1, length 0, done 0, last_idx -1
+        rows = []
+        for fi in range(l + 16):
+            r = new_feats_t[fi]
+            if fi < l or fi == l + 7:
+                r = jnp.where(invalid, -1.0, r)
+            elif fi in (l, l + 1):
+                r = jnp.where(invalid, 0.0, r)
+            rows.append(r)
+        return jnp.stack(rows), sel_valid
+
+    feats_t0 = jnp.transpose(_pack_state_feats(st))  # (F, K)
+    feats_t, alive = jax.lax.fori_loop(0, l - 1, step, (feats_t0, st.alive))
+    out_configs = jnp.round(jnp.transpose(feats_t[:l])).astype(jnp.int32)
+    return out_configs, alive
 
 
 def _postfilter_pool(

@@ -60,7 +60,7 @@ _LOG_LAM_HI = 2.0
 # lambda grid resolution: the penalty weight is searched over a fixed log
 # grid solved as ONE batched Cholesky (serial depth 1) instead of a
 # sequential bisection — the TPU answer to FITPACK's iterative knot search
-_LAM_GRID = 32
+_LAM_GRID = 16
 
 
 def _difference_penalty(order: int, n_coef: int = N_COEF) -> np.ndarray:
