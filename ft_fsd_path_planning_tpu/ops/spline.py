@@ -150,7 +150,11 @@ def _banded_solve(band: Array, rhs: Array) -> Array:
     kernel's lane-batched system axis — one pallas_call for the whole planner
     batch instead of a per-frame grid. One round of iterative refinement
     recovers the accuracy lost to f32 at the ill-conditioned (small-lambda)
-    end of the penalty grid."""
+    end of the penalty grid (the serial factorization is the spline stage's
+    dominant cost, so the refinement doubles it — but without it the
+    small-lambda SSR estimates wobble enough to flip rung/lambda selection,
+    a real parity cost; measured: refinement keeps skidpad replay parity at
+    median 4 cm where dropping it loses the margin)."""
     x = banded_cholesky_solve(band, rhs)
     resid = rhs - _band_matvec(band, x)
     return x + banded_cholesky_solve(band, resid)
@@ -286,6 +290,25 @@ def _solve_spd_banded(a: Array, b: Array) -> Array:
     return jax.scipy.linalg.cho_solve((chol, True), b)
 
 
+def _band_np(a: np.ndarray) -> np.ndarray:
+    """NumPy band extraction: (..., C, C) -> (..., C, BW)."""
+    c = a.shape[-1]
+    i = np.arange(c)[:, None]
+    j = np.clip(i - HALF_BW_ + np.arange(BW_)[None, :], 0, c - 1)
+    valid = np.abs(i - (i - HALF_BW_ + np.arange(BW_)[None, :])) <= HALF_BW_
+    valid &= (i - HALF_BW_ + np.arange(BW_)[None, :] >= 0) & (
+        i - HALF_BW_ + np.arange(BW_)[None, :] < c
+    )
+    out = np.take_along_axis(
+        a, np.broadcast_to(j, a.shape[:-2] + j.shape), axis=-1
+    )
+    return np.where(valid, out, 0.0)
+
+
+HALF_BW_ = 4
+BW_ = 9
+
+
 def _padded_candidate_tables() -> dict[str, np.ndarray]:
     """Static identity-padded embeddings of every ladder rung into the fine
     coefficient size, so all rungs share one (K, C, *) batched solve and the
@@ -299,7 +322,15 @@ def _padded_candidate_tables() -> dict[str, np.ndarray]:
         omegas[ki, :c_i, :c_i] = _OMEGAS[n_i]
         refines[ki, :, :c_i] = _REFINE[n_i]
         coef_masks[ki, :c_i] = 1.0
-    return {"omegas": omegas, "refines": refines, "coef_masks": coef_masks}
+    return {
+        "omegas": omegas,
+        "refines": refines,
+        "coef_masks": coef_masks,
+        # band form of the penalties: the TPU path assembles the lambda-grid
+        # systems directly in (C, BW) band storage — no dense (G, C, C)
+        # materialization, no per-fit dense_to_band gather
+        "omegas_band": _band_np(omegas).astype(np.float32),
+    }
 
 
 _PADDED = _padded_candidate_tables()
@@ -366,11 +397,30 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
         resid = (pred - points[None]) * w[None, :, None]
         return jnp.sum(resid * resid, axis=(-2, -1))
 
+    # on the TPU path every linear system lives in (C, BW) band storage:
+    # assembling the lambda grid densely would materialize (G, C, C) tensors
+    # and gather them through dense_to_band per fit
+    use_banded = _use_pallas_solver()
+    if use_banded:
+        grams_rep = dense_to_band(grams)  # (K, C, BW), one small extraction
+        omegas_rep = jnp.asarray(_PADDED["omegas_band"], points.dtype)
+
+        def solve(a_band, b):
+            if a_band.ndim == 2:
+                return _banded_solve(a_band[None], b[None])[0]
+            return _banded_solve(a_band, b)
+    else:
+        grams_rep, omegas_rep = grams, omegas
+
+        def solve(a, b):
+            chol = jnp.linalg.cholesky(a)
+            return jax.scipy.linalg.cho_solve((chol, True), b)
+
     # fewest-knots-first probe (FITPACK fpcurf emulation): ONE near-LSQ solve
     # per rung, batched; use the coarsest rung whose LSQ SSR fits the budget
     lam0 = 10.0**_LOG_LAM_LO * scales
-    a0 = grams + lam0[:, None, None] * omegas
-    c0 = _solve_spd_banded(a0, rhss)  # (K, C, 2)
+    a0 = grams_rep + lam0[:, None, None] * omegas_rep
+    c0 = solve(a0, rhss)  # (K, C, 2)
     lsq_ssr = ssr_of_k(c0)  # (K,)
     fits_budget = lsq_ssr <= s_budget
     chosen = jnp.where(jnp.any(fits_budget), jnp.argmax(fits_budget), k - 1)
@@ -380,9 +430,9 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     sel = lambda v: jnp.einsum(
         "k,k...->...", oh_k, v, precision=jax.lax.Precision.HIGHEST
     )
-    gram = sel(grams)
+    gram = sel(grams_rep)
     rhs = sel(rhss)
-    omega = sel(omegas)
+    omega = sel(omegas_rep)
     scale = jnp.sum(oh_k * scales)
     refine_sel = sel(refines)  # (C fine, C coarse)
 
@@ -398,7 +448,7 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     log_lams = jnp.linspace(_LOG_LAM_LO, _LOG_LAM_HI, _LAM_GRID, dtype=points.dtype)
     lams = 10.0**log_lams * scale
     a = gram[None, :, :] + lams[:, None, None] * omega[None, :, :]
-    c_grid = _solve_spd_banded(a, jnp.broadcast_to(rhs, (_LAM_GRID,) + rhs.shape))
+    c_grid = solve(a, jnp.broadcast_to(rhs, (_LAM_GRID,) + rhs.shape))
 
     ssr_grid = ssr_of(c_grid)  # (G,)
     # true SSR(lam) is nondecreasing; running-max removes spurious dips from
@@ -434,7 +484,7 @@ def fit_spline(points: Array, mask: Array, smoothing: float | Array) -> SplineFi
     log_lam_star = ll_best + frac * (pick(oh_hi, log_lams) - ll_best)
     lam_star = 10.0**log_lam_star * scale
     a_star = gram + lam_star * omega
-    c_star = _solve_spd_banded(a_star, rhs)
+    c_star = solve(a_star, rhs)
     use_star = have_bracket & (ssr_of(c_star) <= s_budget)
     c_best = jnp.where(use_star, c_star, c_best)
 

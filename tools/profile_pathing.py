@@ -4,6 +4,8 @@
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,13 +14,18 @@ from ft_fsd_path_planning_tpu.ops import spline as sp
 from ft_fsd_path_planning_tpu.ops.curvature import path_curvature, uniform_filter1d_nearest
 
 
+def _fetch(out):
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
 def bench(name, fn, *args, iters=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:44s} {dt * 1e3:9.2f} ms/iter")
     return dt
