@@ -9,6 +9,7 @@ fallback keeps the framework importable without a compiler.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import json
 import subprocess
 from pathlib import Path
@@ -18,6 +19,7 @@ import numpy as np
 _DIR = Path(__file__).parent
 _SRC = _DIR / "replay_loader.cpp"
 _LIB = _DIR / "libreplay_loader.so"
+_STAMP = _DIR / "libreplay_loader.hash"
 
 _lib = None
 _build_failed = False
@@ -28,13 +30,23 @@ def _get_lib():
     if _lib is not None or _build_failed:
         return _lib
     try:
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        # Content-hash staleness check: mtimes are unreliable after a git
+        # checkout, so a stamp file records the source hash the cached
+        # library was built from.
+        src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()
+        stale = (
+            not _LIB.exists()
+            or not _STAMP.exists()
+            or _STAMP.read_text().strip() != src_hash
+        )
+        if stale:
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                  str(_SRC), "-o", str(_LIB)],
                 check=True,
                 capture_output=True,
             )
+            _STAMP.write_text(src_hash)
         lib = ctypes.CDLL(str(_LIB))
         lib.rl_load_session.restype = ctypes.c_int
         lib.rl_load_session.argtypes = [

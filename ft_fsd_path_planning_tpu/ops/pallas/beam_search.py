@@ -331,8 +331,13 @@ def _beam_kernel(
         pool_sz = k + k * c
 
         def pool_row(parent_row, child_rows):
+            # Children pooled j-major (neighbor-major): pool index K + j*K + k_,
+            # matching the XLA path's `[parent] + [per-neighbor (K,) blocks]`
+            # concatenation so tie-breaking on pool index selects the same
+            # survivors in both implementations.
             return jnp.concatenate(
-                [parent_row, child_rows.reshape(k * c, LANES)], axis=0
+                [parent_row, child_rows.transpose(1, 0, 2).reshape(k * c, LANES)],
+                axis=0,
             )
 
         pool = []
@@ -358,7 +363,9 @@ def _beam_kernel(
         pool.append(pool_row(first_x, bcast(first_x)))
         pool.append(pool_row(first_y, bcast(first_y)))
 
-        scores = jnp.concatenate([p_score, c_score.reshape(k * c, LANES)], axis=0)
+        scores = jnp.concatenate(
+            [p_score, c_score.transpose(1, 0, 2).reshape(k * c, LANES)], axis=0
+        )
 
         # ---- rank-based exact top-K (ties broken by pool index, matching
         # the XLA top_k's stable lowest-index-first order)

@@ -60,6 +60,11 @@ def host_local_slice(global_batch: int) -> tuple[int, int]:
     """[start, stop) rows of the global batch this process owns (equal split
     by process index — matches a batch-axis NamedSharding over the mesh)."""
     n = jax.process_count()
+    if global_batch % n != 0:
+        raise ValueError(
+            f"global_batch={global_batch} must divide evenly over "
+            f"{n} processes (pad the batch to a multiple)"
+        )
     per = global_batch // n
     i = jax.process_index()
     return i * per, (i + 1) * per
@@ -86,6 +91,11 @@ def make_global_batch(mesh: Mesh, local_tree: Any, global_batch: int, axis: str 
 def make_global_state(cfg: PlannerConfig, mesh: Mesh, global_batch: int, axis: str = "data") -> PlannerState:
     """Initial planner state replicated per-row, sharded over the mesh."""
     local = jax.process_count()
+    if global_batch % local != 0:
+        raise ValueError(
+            f"global_batch={global_batch} must divide evenly over "
+            f"{local} processes (pad the batch to a multiple)"
+        )
     per = global_batch // local
     local_states = make_batch_state(cfg, per)
     host_local = jax.tree.map(np.asarray, local_states)
