@@ -23,16 +23,23 @@ import numpy as np
 
 _SKIDPAD_SPACING = 0.05  # reference table spacing: 0.0500 +- 0.0002
 
-# Lobe geometry measured by least-squares circle fit of the reference
-# table's y<-2 / y>2 regions (the same fit the relocalizer itself performs,
-# skidpad_relocalizer.py:172-183). These are parity-spec constants, like the
-# cost weights: the relocalizer's reference centers and every tracked path
-# point derive from them, so using the ideal FSG values (0, -+9.125), r=9.125
-# offsets the whole mission output by ~5.5 cm.
-_RIGHT_CENTER = np.array([0.0549, -9.1361])
-_RIGHT_RADIUS = 9.1241
-_LEFT_CENTER = np.array([0.0548, 9.1164])
-_LEFT_RADIUS = 9.1262
+# Track geometry surveyed from the reference table (least-squares circle fit
+# per driven lap, line fit per straight — the same fits the relocalizer
+# itself performs, skidpad_relocalizer.py:172-183). These are parity-spec
+# constants, like the cost weights: the relocalizer's reference centers and
+# every tracked path point derive from them, so using the ideal FSG values
+# (0, -+9.125), r=9.125 offsets the whole mission output by ~5.5 cm. The
+# reference's path is a recorded drive, not ideal geometry: its four laps
+# are four *different* near-circles (lap-to-lap lateral deviation up to
+# ~6.5 cm), so each lap is modeled with its own fitted circle.
+_LAPS = (  # (cx, cy, r), driving order: right x2 (clockwise), left x2 (ccw)
+    (0.0548, -9.1410, 9.1217),
+    (0.0550, -9.1418, 9.1211),
+    (0.0550, 9.1223, 9.1231),
+    (0.0553, 9.1217, 9.1235),
+)
+_ENTRY_LINE = (0.000384, 0.005219)  # (slope, intercept), x in [-20, 0)
+_EXIT_LINE = (0.000237, -0.006246)  # x in [0, 40)
 
 
 def _circle_points(center: np.ndarray, radius: float, start_angle: float,
@@ -59,22 +66,25 @@ def generate_skidpad_path() -> np.ndarray:
     spacing = _SKIDPAD_SPACING
 
     entry_x = np.arange(-20.0, 0.0, spacing)
-    entry = np.stack([entry_x, np.zeros_like(entry_x)], axis=1)
+    entry = np.stack(
+        [entry_x, _ENTRY_LINE[0] * entry_x + _ENTRY_LINE[1]], axis=1
+    )
 
-    # each loop starts/ends at its junction-facing angle (toward the origin);
+    # each lap starts/ends at its junction-facing angle (toward the origin);
     # the measured centers put the origin ~1 cm off the circles, which the
-    # uniform resampling below blends through
-    a_r = np.arctan2(-_RIGHT_CENTER[1], -_RIGHT_CENTER[0])
-    right_loop = _circle_points(_RIGHT_CENTER, _RIGHT_RADIUS, a_r,
-                                a_r - 2 * np.pi, spacing)
-    a_l = np.arctan2(-_LEFT_CENTER[1], -_LEFT_CENTER[0])
-    left_loop = _circle_points(_LEFT_CENTER, _LEFT_RADIUS, a_l,
-                               a_l + 2 * np.pi, spacing)
+    # uniform resampling below blends through. Right laps run clockwise,
+    # left laps counter-clockwise (driving order).
+    laps = []
+    for i, (cx, cy, r) in enumerate(_LAPS):
+        center = np.array([cx, cy])
+        a0 = np.arctan2(-cy, -cx)
+        sweep = -2 * np.pi if i < 2 else 2 * np.pi
+        laps.append(_circle_points(center, r, a0, a0 + sweep, spacing))
 
     exit_x = np.arange(0.0, 40.0, spacing)
-    exit_ = np.stack([exit_x, np.zeros_like(exit_x)], axis=1)
+    exit_ = np.stack([exit_x, _EXIT_LINE[0] * exit_x + _EXIT_LINE[1]], axis=1)
 
-    path = np.concatenate([entry, right_loop, right_loop, left_loop, left_loop, exit_])
+    path = np.concatenate([entry, *laps, exit_])
     path = _resample(path, spacing)
     path = path + rng.normal(0.0, 1e-3, path.shape)
     return path.astype(np.float64)

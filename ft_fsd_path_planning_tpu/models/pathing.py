@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ft_fsd_path_planning_tpu.config import PlannerConfig
 from ft_fsd_path_planning_tpu.ops import gatherless as gl
 from ft_fsd_path_planning_tpu.ops import geometry as geo
+from ft_fsd_path_planning_tpu.ops import fitpack as fpk
 from ft_fsd_path_planning_tpu.ops import spline as sp
 from ft_fsd_path_planning_tpu.ops.curvature import path_curvature, uniform_filter1d_nearest
 
@@ -98,8 +99,8 @@ def _fit_and_densify(
 ) -> tuple[Array, Array, Array]:
     """Spline fit + 0.1 m dense evaluation -> (dense (D,2), n_valid, ok)."""
     d = n_samples if n_samples is not None else cfg.shapes.dense_samples
-    fit = sp.fit_spline(points, mask, smoothing)
-    vals, _, valid = sp.eval_spline_every(fit, cfg.path.predict_every, d)
+    fit = fpk.fitpack_fit(points, mask, smoothing)
+    vals, _, valid = fpk.fitpack_eval_every(fit, cfg.path.predict_every, d)
     return vals, jnp.sum(valid), fit.ok
 
 
@@ -335,8 +336,8 @@ def _parameterize_path(
     skipped_valid = take < n_valid
     skipped = gl.take_rows(path, take)
 
-    fit = sp.fit_spline(skipped, skipped_valid, cfg.path.refit_smoothing)
-    pts, u_grid, pts_valid = sp.eval_spline_every(fit, predict_every, d)
+    fit = fpk.fitpack_fit(skipped, skipped_valid, cfg.path.refit_smoothing)
+    pts, u_grid, pts_valid = fpk.fitpack_eval_every(fit, predict_every, d)
     n_pts = jnp.sum(pts_valid)
 
     window = jnp.minimum(n_pts // 5, 30)
@@ -475,8 +476,8 @@ def run_path_calculation(
     p2, n2 = _extend_path(p1, n1, inp.position, inp.direction, cfg.path.mpc_path_length)
     p3, n3 = _remove_path_behind_car(p2, n2, inp.position)
 
-    refit = sp.fit_spline(p3, jnp.arange(d) < n3, cfg.path.smoothing)
-    p4, _, v4 = sp.eval_spline_every(
+    refit = fpk.fitpack_fit(p3, jnp.arange(d) < n3, cfg.path.smoothing)
+    p4, _, v4 = fpk.fitpack_eval_every(
         refit, cfg.path.predict_every, d, max_u=cfg.path.mpc_path_length * 1.5
     )
     n4 = jnp.sum(v4)

@@ -1,0 +1,612 @@
+"""Faithful fixed-shape FITPACK smoothing-spline emulation (fpcurf/fppara).
+
+The reference fits every path through SciPy's ``splprep`` (reference
+utils/spline_fit.py:113-128), i.e. Dierckx's FITPACK: an *adaptive-knot*
+smoothing spline. Part 1 grows a knot set until the least-squares spline's
+weighted SSR drops to the smoothing budget ``s`` (knots are inserted at
+count-median data sites of the worst-residual interval — ``fpknot``); part 2
+then finds the Lagrange parameter ``p`` such that the penalized fit's SSR
+equals ``s`` exactly, where the penalty rows are the k-th-derivative jumps of
+the B-spline basis at the interior knots (``fpdisc``), via FITPACK's rational
+root iteration (``fprati``).
+
+Round 3 approximated this with a dyadic-rung penalized LSQ; that matches the
+residual *budget* but not the residual *shape* — on the skidpad loops FITPACK
+chooses 1-4 interior knots and cuts the circle's corner by up to 10 cm in a
+specific low-order way that a uniform-knot penalized fit distributes
+differently, costing 10-25 cm of replay parity at the loop transitions. This
+module reproduces the FITPACK algorithm itself under JAX's fixed-shape rules:
+
+* the knot vector is a padded ``(MAX_INT,)`` array + a live count;
+* part 1 runs a fixed number of masked outer iterations (`lax.scan`), each
+  one batched LSQ solve + up to ``NPLUS_MAX`` masked knot insertions with
+  FITPACK's exact ``fpint``/``nrdata`` bookkeeping (half-split interval
+  residuals, proportional-by-count splits on insertion — fpcurf.f:140-215,
+  fpknot.f);
+* part 2 runs FITPACK's ``root_rati`` bracket iteration as a masked scan of
+  ``MAXIT=20`` steps over the banded system ``(B^T B + D^T D / p^2) c = B^T y``
+  (fpcurf.f:229-330, fppara.f:290-400).
+
+Every solve is a half-bandwidth-4 SPD system -> the same Pallas lane-batched
+banded Cholesky used by the rest of the spline stack (`_solve_spd_banded`).
+All index lookups are one-hot contractions (see ops/gatherless.py).
+
+Degree handling matches the reference's ``k = clip(m - 1, 1, 3)``
+(spline_fit.py:113): for m <= 4 data points the smoothing problem degenerates
+to polynomial interpolation (SSR = 0 <= s), emitted directly in Bezier form
+on a zero-interior-knot vector.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ft_fsd_path_planning_tpu.ops.spline import _solve_spd_banded, chord_lengths
+
+Array = jax.Array
+_HI = jax.lax.Precision.HIGHEST
+
+K = 3  # cubic splines (the reference always clips to max_deg=3)
+MAX_INT = 16  # interior-knot budget (measured max over all workloads: 6)
+NC = MAX_INT + K + 1  # B-spline coefficient budget
+NEST = MAX_INT + 2 * (K + 1)  # padded full knot-vector length
+NI = MAX_INT + 1  # knot-interval budget (n_int + 1 intervals)
+
+OUTER = 8  # part-1 outer iterations (observed convergence: 2-4)
+NPLUS_MAX = 6  # knot insertions per outer iteration (observed: <= 4)
+MAXIT = 20  # part-2 iterations (FITPACK's maxit, fpcurf.f:26)
+TOL = 1e-3  # FITPACK's tol (fpcurf.f:27): acc = tol * s
+
+_CON1, _CON4, _CON9 = 0.1, 0.04, 0.9  # fprati magic constants (fpcurf.f:27)
+_BIG = 3.0e38
+_EPS_DIAG = 1e-6
+
+
+class FpSpline(NamedTuple):
+    """A fitted FITPACK-style spline with an adaptive (padded) knot vector."""
+
+    t_int: Array  # (MAX_INT,) interior knots, ascending; pad = +_BIG
+    n_int: Array  # () int32 live interior-knot count
+    coef: Array  # (NC, 2) B-spline coefficients (pad rows zero)
+    u_max: Array  # () chord length of the data
+    ok: Array  # () bool; False mirrors the reference's splprep ValueError
+
+
+# ---------------------------------------------------------------------------
+# basis evaluation on an arbitrary clamped knot vector
+# ---------------------------------------------------------------------------
+
+
+def _full_knots(t_int: Array, n_int: Array, u_max: Array) -> Array:
+    """(NEST,) clamped vector [0*4 | t_int | u_max * rest]."""
+    j = jnp.arange(MAX_INT)
+    interior = jnp.where(j < n_int, t_int, u_max)
+    return jnp.concatenate(
+        [
+            jnp.zeros((K + 1,), t_int.dtype),
+            interior,
+            jnp.full((K + 1,), 1.0, t_int.dtype) * u_max,
+        ]
+    )
+
+
+def _basis4(x: Array, t_full: Array, n_int: Array) -> tuple[Array, Array]:
+    """Nonzero cubic B-spline basis values at each site.
+
+    x (M,) -> (values (M, 4), span (M,) int32) where span is the knot
+    interval index in [K, K + n_int]; sites past u_max keep the last span so
+    the returned values are the polynomial extension of the end piece
+    (FITPACK ``splev`` extrapolation semantics, ext=0).
+    """
+    # right-continuous intervals: a site equal to an interior knot belongs to
+    # the interval to its right (fpcurf.f:176 advances on x >= t(l))
+    j = jnp.arange(MAX_INT)
+    t_int = t_full[K + 1 : K + 1 + MAX_INT]
+    span = K + jnp.sum(
+        (j[None, :] < n_int) & (x[:, None] >= t_int[None, :]), axis=1
+    ).astype(jnp.int32)
+
+    # knots t[span-2 .. span+3] via one-hot contraction (6 per site)
+    offs = jnp.arange(-K + 1, K + 1)  # (-2..3)
+    idx = span[:, None] + offs[None, :]  # (M, 6)
+    onehot = (idx[:, :, None] == jnp.arange(NEST)[None, None, :]).astype(x.dtype)
+    twin = jnp.einsum("mon,n->mo", onehot, t_full, precision=_HI)  # (M, 6)
+    # twin[:, r] = t[span - 2 + r]
+
+    # de Boor basis_funs (The NURBS Book A2.2), degree 3
+    n0 = jnp.ones_like(x)
+    vals = [n0]
+    for deg in range(1, K + 1):
+        saved = jnp.zeros_like(x)
+        new_vals = []
+        for r in range(deg):
+            rt = twin[:, K - 1 + (r + 1)] - x  # right(r+1)
+            lf = x - twin[:, K - (deg - r)]  # left(deg-r)
+            denom = rt + lf
+            denom = jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+            tmp = vals[r] / denom
+            new_vals.append(saved + rt * tmp)
+            saved = lf * tmp
+        new_vals.append(saved)
+        vals = new_vals
+    return jnp.stack(vals, axis=-1), span  # (M, 4), (M,)
+
+
+def _design(x: Array, mask: Array, t_full: Array, n_int: Array) -> Array:
+    """(M, NC) masked design matrix (zero rows for padded sites)."""
+    vals, span = _basis4(x, t_full, n_int)
+    cols = span[:, None] - K + jnp.arange(K + 1)[None, :]  # (M, 4)
+    onehot = (cols[:, :, None] == jnp.arange(NC)[None, None, :]).astype(x.dtype)
+    b = jnp.einsum("mr,mrc->mc", vals, onehot, precision=_HI)
+    return b * mask[:, None].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# banded LSQ solve + residual bookkeeping
+# ---------------------------------------------------------------------------
+
+
+def _normal_eqs(b: Array, y: Array, n_int: Array):
+    """(G with padded-identity + jitter, rhs, live-coef mask)."""
+    live = jnp.arange(NC) < n_int + K + 1
+    g = jnp.matmul(b.T, b, precision=_HI)
+    # padded coefficient rows get an identity so the factorization exists;
+    # a small live-diagonal jitter keeps f32 Cholesky stable
+    tr = jnp.trace(g) / jnp.maximum(jnp.sum(live), 1)
+    g = g + jnp.where(live, _EPS_DIAG * tr, tr)[:, None] * jnp.eye(NC, dtype=b.dtype)
+    rhs = jnp.matmul(b.T, y, precision=_HI)
+    return g, rhs, live
+
+
+def _lsq_solve(b: Array, y: Array, mask: Array, n_int: Array):
+    """LSQ spline coefficients on the current knots.
+
+    Returns (coef (NC,2), fp, residuals (M,)) where residuals are per-site
+    squared errors summed over dims (FITPACK's parametric residuals,
+    fppara.f / Dierckx1982 Eq. 42)."""
+    g, rhs, live = _normal_eqs(b, y, n_int)
+    c = _solve_spd_banded(g, rhs)
+    # one iterative-refinement step recovers f32 accuracy near FITPACK's f64
+    r1 = rhs - jnp.matmul(g, c, precision=_HI)
+    c = c + _solve_spd_banded(g, r1)
+    c = c * live[:, None]
+    fitted = jnp.matmul(b, c, precision=_HI)
+    resid = jnp.sum((fitted - y) ** 2, axis=1) * mask.astype(b.dtype)
+    fp = jnp.sum(resid)
+    return c, fp, resid
+
+
+def _interval_stats(x, mask, resid, t_int, n_int, endpoint_mask):
+    """FITPACK's fpint/nrdata for the current knot set (fpcurf.f:140-215).
+
+    fpint[j]: residual sum of interval j, with each knot-coincident site's
+    residual split half to the interval it closes and half to the one it
+    opens. nrdata[j]: count of data sites strictly inside interval j (knots
+    and the two boundary sites excluded).
+    """
+    j = jnp.arange(MAX_INT)
+    valid_knot = j < n_int
+    ge = (x[:, None] >= t_int[None, :]) & valid_knot[None, :]
+    iv = jnp.sum(ge, axis=1).astype(jnp.int32)  # (M,) interval index
+    cross = jnp.any((x[:, None] == t_int[None, :]) & valid_knot[None, :], axis=1)
+    cross = cross & mask
+
+    ivs = jnp.arange(NI)
+    onehot_iv = (iv[:, None] == ivs[None, :]).astype(x.dtype)
+    onehot_prev = ((iv[:, None] - 1) == ivs[None, :]).astype(x.dtype)
+    w_main = resid * jnp.where(cross, 0.5, 1.0)
+    w_prev = resid * jnp.where(cross, 0.5, 0.0)
+    fpint = jnp.einsum("m,mj->j", w_main, onehot_iv, precision=_HI) + jnp.einsum(
+        "m,mj->j", w_prev, onehot_prev, precision=_HI
+    )
+
+    inside = mask & ~cross & ~endpoint_mask
+    nrdata = jnp.einsum(
+        "m,mj->j", inside.astype(x.dtype), onehot_iv, precision=_HI
+    ).astype(jnp.int32)
+    live_iv = ivs <= n_int
+    return jnp.where(live_iv, fpint, 0.0), jnp.where(live_iv, nrdata, 0), iv, cross
+
+
+def _insert_knot(x, mask, t_int, n_int, fpint, nrdata, endpoint_mask):
+    """One fpknot step: pick the worst interval, place the new knot at its
+    count-median data site, split fpint/nrdata proportionally (fpknot.f)."""
+    ivs = jnp.arange(NI)
+    can = (nrdata > 0) & (ivs <= n_int)
+    score = jnp.where(can, fpint, -1.0)
+    number = jnp.argmax(score)
+    fpmax = score[number]
+    any_ok = fpmax > 0.0
+
+    maxpt = jnp.sum(jnp.where(ivs == number, nrdata, 0))
+    ihalf = maxpt // 2 + 1
+
+    # the ihalf-th strictly-inside site of interval `number`
+    j = jnp.arange(MAX_INT)
+    valid_knot = j < n_int
+    iv = jnp.sum(
+        (x[:, None] >= t_int[None, :]) & valid_knot[None, :], axis=1
+    ).astype(jnp.int32)
+    cross = (
+        jnp.any((x[:, None] == t_int[None, :]) & valid_knot[None, :], axis=1) & mask
+    )
+    inside = mask & ~cross & ~endpoint_mask & (iv == number)
+    ranks = jnp.cumsum(inside.astype(jnp.int32))
+    hit = inside & (ranks == ihalf)
+    new_knot = jnp.sum(jnp.where(hit, x, 0.0))
+
+    # sorted insert into the padded vector
+    t_new = jnp.sort(
+        jnp.where(jnp.arange(MAX_INT) == n_int, new_knot, t_int)
+    )
+    n_new = n_int + 1
+
+    # proportional split (fpknot.f tail): interval `number` -> two intervals
+    am = jnp.maximum(maxpt.astype(x.dtype), 1.0)
+    f_lo = fpmax * (ihalf - 1).astype(x.dtype) / am
+    f_hi = fpmax * (maxpt - ihalf).astype(x.dtype) / am
+    shift_f = jnp.roll(fpint, 1)
+    shift_n = jnp.roll(nrdata, 1)
+    fpint_new = jnp.where(
+        ivs < number,
+        fpint,
+        jnp.where(ivs == number, f_lo, jnp.where(ivs == number + 1, f_hi, shift_f)),
+    )
+    nrdata_new = jnp.where(
+        ivs < number,
+        nrdata,
+        jnp.where(
+            ivs == number,
+            ihalf - 1,
+            jnp.where(ivs == number + 1, maxpt - ihalf, shift_n),
+        ),
+    )
+
+    keep = ~any_ok
+    return (
+        jnp.where(keep, t_int, t_new),
+        jnp.where(keep, n_int, n_new),
+        jnp.where(keep, fpint, fpint_new),
+        jnp.where(keep, nrdata, nrdata_new),
+    )
+
+
+# ---------------------------------------------------------------------------
+# part 2: discontinuity penalty + root_rati
+# ---------------------------------------------------------------------------
+
+
+def _disc_matrix(t_full: Array, n_int: Array, u_max: Array) -> Array:
+    """(MAX_INT, NC) k-th-derivative-jump rows with FITPACK normalization
+    (fpdisc.f): row j (valid for j < n_int) covers coefs j..j+k+1."""
+    rows = jnp.arange(MAX_INT)
+    cols = jnp.arange(K + 2)
+    i = rows[:, None] + cols[None, :]  # (R, 5) coef index
+    jknot = rows + K + 1  # (R,) knot index of the jump
+
+    t = t_full
+
+    def tk(idx):
+        onehot = (idx[..., None] == jnp.arange(NEST)).astype(t.dtype)
+        return jnp.einsum("...n,n->...", onehot, t, precision=_HI)
+
+    # prodd(t, i, j, k) = prod_{s=0..k+1, i+s != j} (t[j] - t[i+s])
+    s = jnp.arange(K + 2)
+    ii = i[:, :, None] + s[None, None, :]  # (R, 5, 5)
+    tj = tk(jknot)[:, None, None]
+    terms = jnp.where(ii == jknot[:, None, None], 1.0, tj - tk(ii))
+    prodd = jnp.prod(terms, axis=-1)  # (R, 5)
+    prodd = jnp.where(jnp.abs(prodd) > 1e-30, prodd, 1.0)
+
+    numer = tk(i + K + 1) - tk(i)
+    nrint = (n_int + 1).astype(t.dtype)
+    scale = (u_max / nrint) ** K
+    vals = numer / prodd * scale  # (R, 5)
+
+    valid = rows < n_int
+    onehot_c = (i[:, :, None] == jnp.arange(NC)[None, None, :]).astype(t.dtype)
+    d = jnp.einsum("rc,rcn->rn", vals, onehot_c, precision=_HI)
+    return d * valid[:, None].astype(t.dtype)
+
+
+def _fprati(p1, f1, p2, f2, p3, f3, p3_inf):
+    """Root of the rational interpolant r(p) = (u p + v)/(p + w)."""
+    h1 = f1 * (f2 - f3)
+    h2 = f2 * (f3 - f1)
+    h3 = f3 * (f1 - f2)
+    d_inf = jnp.where(jnp.abs(h3) > 1e-30, h3, 1e-30)
+    p_inf = -(p2 * h1 + p1 * h2) / d_inf
+    den = p1 * h1 + p2 * h2 + p3 * h3
+    den = jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
+    p_fin = -(p1 * p2 * h3 + p2 * p3 * h1 + p1 * p3 * h2) / den
+    return jnp.where(p3_inf, p_inf, p_fin)
+
+
+def _root_rati(b, y, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int):
+    """FITPACK's p-iteration (masked scan; mirrors scipy's tested
+    reproduction of fpcurf.f:229-330 / fppara.f root_rati)."""
+    live = jnp.arange(NC) < n_int + K + 1
+    eye = jnp.eye(NC, dtype=b.dtype)
+
+    def solve_at(p):
+        a = g + dtd / (p * p)
+        c = _solve_spd_banded(a, rhs)
+        r1 = rhs - jnp.matmul(a, c, precision=_HI)
+        c = c + _solve_spd_banded(a, r1)
+        c = c * live[:, None]
+        fitted = jnp.matmul(b, c, precision=_HI)
+        fp = jnp.sum(jnp.sum((fitted - y) ** 2, axis=1) * mask.astype(b.dtype))
+        return c, fp - s
+
+    def body(carry, _):
+        (p, p1, f1, p3, f3, p3_inf, ich1, ich3, c_best, conv, stop) = carry
+        c2, f2 = solve_at(p)
+
+        active = ~(conv | stop)
+        c_best = jnp.where(active, c2, c_best)
+
+        new_conv = active & (jnp.abs(f2) < acc)
+
+        # branch 1: initial p too large (f2 barely above f3)
+        b1 = active & ~new_conv & (ich3 == 0) & (f2 - f3 <= acc)
+        p3_b1, f3_b1 = p, f2
+        p_b1 = p * _CON4
+        p_b1 = jnp.where(p_b1 <= p1, p1 * _CON9 + p * _CON1, p_b1)
+        ich3_set = active & ~new_conv & (ich3 == 0) & ~b1 & (f2 < 0)
+
+        # branch 2: initial p too small
+        b2 = active & ~new_conv & ~b1 & (ich1 == 0) & (f1 - f2 <= acc)
+        p1_b2, f1_b2 = p, f2
+        p_b2 = p / _CON4
+        p_b2 = jnp.where(~p3_inf & (p_b2 <= p3), p * _CON1 + p3 * _CON9, p_b2)
+        ich1_set = active & ~new_conv & ~b1 & (ich1 == 0) & ~b2 & (f2 > 0)
+
+        # monotonicity failure -> stop with current spline (ier=2)
+        mono_bad = active & ~new_conv & ~b1 & ~b2 & ((f1 <= f2) | (f2 <= f3))
+
+        # rational step
+        do_step = active & ~new_conv & ~b1 & ~b2 & ~mono_bad
+        p_new = _fprati(p1, f1, p, f2, p3, f3, p3_inf)
+        neg = f2 < 0
+        p3_s = jnp.where(neg, p, p3)
+        f3_s = jnp.where(neg, f2, f3)
+        p3_inf_s = p3_inf & ~neg
+        p1_s = jnp.where(neg, p1, p)
+        f1_s = jnp.where(neg, f1, f2)
+
+        p_out = jnp.where(b1, p_b1, jnp.where(b2, p_b2, jnp.where(do_step, p_new, p)))
+        p1_out = jnp.where(b2, p1_b2, jnp.where(do_step, p1_s, p1))
+        f1_out = jnp.where(b2, f1_b2, jnp.where(do_step, f1_s, f1))
+        p3_out = jnp.where(b1, p3_b1, jnp.where(do_step, p3_s, p3))
+        f3_out = jnp.where(b1, f3_b1, jnp.where(do_step, f3_s, f3))
+        p3_inf_out = jnp.where(b1, False, jnp.where(do_step, p3_inf_s, p3_inf))
+        ich1_out = jnp.where(ich1_set, 1, ich1)
+        ich3_out = jnp.where(ich3_set, 1, ich3)
+        conv_out = conv | new_conv
+        stop_out = stop | mono_bad
+
+        return (
+            p_out, p1_out, f1_out, p3_out, f3_out, p3_inf_out,
+            ich1_out, ich3_out, c_best, conv_out, stop_out,
+        ), None
+
+    init = (
+        p0,
+        jnp.zeros_like(p0),
+        f1_0,
+        jnp.zeros_like(p0),  # p3 numeric value unused while p3_inf
+        f3_0,
+        jnp.asarray(True),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        c_lsq,
+        jnp.asarray(False),
+        jnp.asarray(False),
+    )
+    carry, _ = jax.lax.scan(body, init, None, length=MAXIT)
+    return carry[8]
+
+
+# ---------------------------------------------------------------------------
+# tiny-input closed forms (m <= 4 -> interpolating polynomial, Bezier coefs)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_fit(u: Array, points: Array, mask: Array, u_max: Array) -> Array:
+    """Interpolating polynomial of degree n_valid-1 (<= 3) as Bezier control
+    points on [0, u_max] in the NC-padded coefficient array."""
+    n_valid = jnp.sum(mask)
+    t = jnp.where(mask, u / jnp.maximum(u_max, 1e-9), 1.0)
+    degree = jnp.clip(n_valid - 1, 1, 3)
+    col_ok = (jnp.arange(4) <= degree).astype(points.dtype)
+    w = mask.astype(points.dtype)
+    powers = jnp.stack([jnp.ones_like(t), t, t * t, t * t * t], axis=-1) * w[:, None]
+    powers = powers * col_ok
+    g = jnp.matmul(powers.T, powers, precision=_HI)
+    g = g + (1e-7 * jnp.trace(g) / 4.0 + 1e-12) * jnp.eye(4, dtype=points.dtype)
+    rhs = jnp.matmul(powers.T, points * w[:, None], precision=_HI)
+    a = jnp.linalg.solve(g, rhs)  # monomial coefs (4, 2) on t in [0,1]
+
+    # monomial -> Bezier (cubic): b = M a with the standard change of basis
+    m_inv = jnp.asarray(
+        [
+            [1.0, 0.0, 0.0, 0.0],
+            [1.0, 1.0 / 3.0, 0.0, 0.0],
+            [1.0, 2.0 / 3.0, 1.0 / 3.0, 0.0],
+            [1.0, 1.0, 1.0, 1.0],
+        ],
+        points.dtype,
+    )
+    bez = jnp.matmul(m_inv, a, precision=_HI)  # (4, 2)
+    coef = jnp.zeros((NC, 2), points.dtype).at[:4].set(bez)
+    return coef
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSpline:
+    """Fit the FITPACK smoothing spline through a masked (M, 2) trace.
+
+    Chord-length parameterization ``u = [0, cumsum(dists)]`` as in the
+    reference (spline_fit.py:113-115); ``smoothing`` is FITPACK's ``s``.
+    """
+    dtype = points.dtype
+    s = jnp.asarray(smoothing, dtype)
+    u, u_max, ok = chord_lengths(points, mask)
+    m = points.shape[0]
+    n_valid = jnp.sum(mask)
+    acc = TOL * s
+
+    # masked sites park at u_max (chord_lengths already repeats u_max there);
+    # exclude them from everything via `mask`
+    last_idx = jnp.maximum(n_valid - 1, 0)
+    idx = jnp.arange(m)
+    endpoint_mask = (idx == 0) | (idx == last_idx)
+
+    t_int0 = jnp.full((MAX_INT,), _BIG, dtype)
+    n_int0 = jnp.asarray(0, jnp.int32)
+
+    def part1_body(carry, it):
+        (t_int, n_int, fp_prev, nplus_prev, done, fp0) = carry
+        t_full = _full_knots(t_int, n_int, u_max)
+        b = _design(u, mask, t_full, n_int)
+        c, fp, resid = _lsq_solve(b, points, mask, n_int)
+
+        fp0 = jnp.where(it == 0, fp, fp0)
+        fpms = fp - s
+        newly = (jnp.abs(fpms) < acc) | (fpms < 0)
+        done_now = done | newly
+
+        # FITPACK nplus update (fpcurf.f:150-160)
+        delta = fp_prev - fp
+        npl1 = jnp.where(
+            delta > acc,
+            (nplus_prev.astype(dtype) * fpms / jnp.where(delta > acc, delta, 1.0))
+            .astype(jnp.int32),
+            nplus_prev * 2,
+        )
+        nplus = jnp.minimum(
+            nplus_prev * 2, jnp.maximum(jnp.maximum(npl1, nplus_prev // 2), 1)
+        )
+        nplus = jnp.where(n_int == 0, 1, nplus)
+
+        fpint, nrdata, _, _ = _interval_stats(
+            u, mask, resid, t_int, n_int, endpoint_mask
+        )
+
+        def ins_body(inner, jstep):
+            ti, ni, fpi, nrd = inner
+            do = (jstep < nplus) & ~done_now & (ni < MAX_INT)
+            ti2, ni2, fpi2, nrd2 = _insert_knot(
+                u, mask, ti, ni, fpi, nrd, endpoint_mask
+            )
+            return (
+                jnp.where(do, ti2, ti),
+                jnp.where(do, ni2, ni),
+                jnp.where(do, fpi2, fpi),
+                jnp.where(do, nrd2, nrd),
+            ), None
+
+        (t_int2, n_int2, _, _), _ = jax.lax.scan(
+            ins_body, (t_int, n_int, fpint, nrdata), jnp.arange(NPLUS_MAX)
+        )
+
+        t_out = jnp.where(done_now, t_int, t_int2)
+        n_out = jnp.where(done_now, n_int, n_int2)
+        # budget exhausted without acceptance: accept the current set (the
+        # FITPACK `n == nest` path, fpcurf.f:165) — handled after the scan
+        return (t_out, n_out, fp, nplus, done_now, fp0), None
+
+    init = (
+        t_int0,
+        n_int0,
+        jnp.asarray(0.0, dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(0.0, dtype),
+    )
+    carry, _ = jax.lax.scan(part1_body, init, jnp.arange(OUTER))
+    (t_int, n_int, fp_last, _, done, fp0) = carry
+
+    # the knot set froze at acceptance, so one post-scan solve reproduces the
+    # accepted LSQ exactly (or, if the scan ran out / hit the budget, runs
+    # the fall-through solve on the final set — FITPACK's n == nest path)
+    t_full = _full_knots(t_int, n_int, u_max)
+    b = _design(u, mask, t_full, n_int)
+    c_lsq, fp_lsq, _ = _lsq_solve(b, points, mask, n_int)
+    g_chol, _, live_c = _normal_eqs(b, points, n_int)
+    chol = jnp.linalg.cholesky(g_chol)
+    diag_sum = jnp.sum(jnp.where(live_c, jnp.diagonal(chol), 0.0))
+
+    # ---- part 2 (skipped when no interior knots, or when the LSQ already
+    # sits within acc of s — FITPACK returns the LSQ spline in those cases)
+    fpms = fp_lsq - s
+    skip_p2 = (n_int == 0) | (jnp.abs(fpms) < acc)
+
+    nc_live = (n_int + K + 1).astype(dtype)
+    p0 = nc_live / jnp.maximum(diag_sum, 1e-30)
+    f1_0 = fp0 - s  # p=0: LSQ polynomial (no interior knots)
+    f3_0 = fpms  # p=inf: LSQ spline on the final knots
+
+    g = g_chol
+    rhs = jnp.matmul(b.T, points, precision=_HI)
+    d = _disc_matrix(t_full, n_int, u_max)
+    dtd = jnp.matmul(d.T, d, precision=_HI)
+
+    c_p2 = _root_rati(
+        b, points, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int
+    )
+    coef = jnp.where(skip_p2, c_lsq, c_p2)
+
+    # tiny inputs: interpolating polynomial (degree n-1) — also the m=4 cubic
+    tiny = n_valid <= 4
+    coef_tiny = _tiny_fit(u, points, mask, u_max)
+    coef = jnp.where(tiny, coef_tiny, coef)
+    t_int = jnp.where(tiny, jnp.full((MAX_INT,), _BIG, dtype), t_int)
+    n_int = jnp.where(tiny, 0, n_int)
+
+    return FpSpline(t_int=t_int, n_int=n_int, coef=coef, u_max=u_max, ok=ok)
+
+
+def fitpack_eval(fit: FpSpline, u: Array) -> Array:
+    """Evaluate the spline at chord parameters u (any shape) -> (..., 2).
+
+    Sites beyond [0, u_max] return the polynomial extension of the end
+    pieces (FITPACK splev ext=0 semantics)."""
+    shape = u.shape
+    uf = u.reshape(-1)
+    t_full = _full_knots(fit.t_int, fit.n_int, fit.u_max)
+    # tiny fits are Bezier on [0, u_max]: same machinery, n_int = 0
+    vals, span = _basis4(uf, t_full, fit.n_int)
+    cols = span[:, None] - K + jnp.arange(K + 1)[None, :]
+    onehot = (cols[:, :, None] == jnp.arange(NC)[None, None, :]).astype(u.dtype)
+    bsel = jnp.einsum("mr,mrc->mc", vals, onehot, precision=_HI)
+    out = jnp.matmul(bsel, fit.coef, precision=_HI)
+    return out.reshape(*shape, 2)
+
+
+def fitpack_eval_every(
+    fit: FpSpline,
+    every: float,
+    n_samples: int,
+    max_u: Array | float | None = None,
+) -> tuple[Array, Array, Array]:
+    """Reference SplineEvaluator.predict (spline_fit.py:30-63): sample every
+    ``every`` along the chord parameter up to ``max_u`` (default u_max).
+
+    Returns (points (n_samples, 2), u_grid, valid_mask)."""
+    mu = fit.u_max if max_u is None else jnp.asarray(max_u, fit.u_max.dtype)
+    u_grid = jnp.arange(n_samples, dtype=fit.u_max.dtype) * every
+    valid = u_grid < mu
+    pts = fitpack_eval(fit, u_grid)
+    pts = jnp.where(valid[:, None], pts, 0.0)
+    return pts, u_grid, valid

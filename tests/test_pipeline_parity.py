@@ -1,5 +1,6 @@
 """End-to-end full-pipeline parity vs the reference PathPlanner."""
 
+import functools
 import json
 from pathlib import Path
 
@@ -84,35 +85,116 @@ def test_intermediate_results_parity():
     np.testing.assert_array_equal(our_r2l, ref_r2l)
 
 
-@pytest.mark.skipif(not SKIDPAD_JSON.exists(), reason="skidpad replay log missing")
-def test_skidpad_replay_parity():
-    """Replay the recorded skidpad session through both planners."""
+@functools.lru_cache(maxsize=1)
+def _ref_skidpad_replay():
+    """Replay the full recorded session through the reference planner once;
+    both parity tests below compare against these outputs."""
     data = json.loads(SKIDPAD_JSON.read_text())
     ref_planner = RefPathPlanner(RefMissionTypes.skidpad)
-    our_planner = PathPlanner(MissionTypes.skidpad)
-
-    deviations = []
-    n_checked = 0
-    for i, frame in enumerate(data[:120]):
+    outs = []
+    for frame in data:
         pos = np.array(frame["car_position"])
         direction = np.array(frame["car_direction"])
         cones = [np.array(c).reshape(-1, 2) for c in frame["slam_cones"]]
-        ref_out = ref_planner.calculate_path_in_global_frame(
+        out = ref_planner.calculate_path_in_global_frame(
             [c.copy() for c in cones], pos.copy(), direction.copy()
         )
-        our_out = our_planner.calculate_path_in_global_frame(cones, pos, direction)
-        if ref_planner.relocalization_info is not None:
-            n_checked += 1
-            deviations.append(path_parity_deviation(ref_out, our_out))
+        outs.append((out, ref_planner.relocalization_info is not None))
+    return data, outs
 
+
+def _our_skidpad_replay(data):
+    our_planner = PathPlanner(MissionTypes.skidpad)
+    outs = []
+    for frame in data:
+        pos = np.array(frame["car_position"])
+        direction = np.array(frame["car_direction"])
+        cones = [np.array(c).reshape(-1, 2) for c in frame["slam_cones"]]
+        outs.append(our_planner.calculate_path_in_global_frame(cones, pos, direction))
     assert our_planner.relocalization_info is not None, "we never relocalized"
-    assert n_checked > 0, "reference never relocalized"
-    deviations = np.array(deviations)
-    # centimeter-grade agreement: the SE(2) estimate matches the reference to
-    # ~1 cm (identical accepted circle trios incl. the RandomState(42) noise
-    # stream, exact DBSCAN-equivalent clustering, measured-lobe path table)
-    # and the FITPACK fewest-knots ladder reproduces the refit's corner
-    # cutting; the residual few-cm tail is the known path table's ~1 cm wiggle
-    # that the reference hardcodes and this repo regenerates
-    assert np.median(deviations) < 0.05, f"median deviation {np.median(deviations):.3f}"
-    assert deviations.max() < 0.2, f"max deviation {deviations.max():.3f}"
+    return outs
+
+
+@pytest.mark.skipif(not SKIDPAD_JSON.exists(), reason="skidpad replay log missing")
+def test_skidpad_replay_parity():
+    """Full 341-frame recorded-session replay (both loop transitions and the
+    exit straight included) against the reference, with this repo's
+    regenerated path table.
+
+    The pipeline itself is FITPACK-exact (see test_fitpack.py and the
+    reference-table variant below); the residual here is the known-path
+    *data* difference: the reference hardcodes a recorded drive whose four
+    laps are four different near-circles (lap-to-lap lateral deviation up to
+    ~6.5 cm, per-lap circle-fit residual up to ~6 cm), while this repo
+    regenerates the table from 16 surveyed constants
+    (assets/known_paths.py). That bounds the achievable parity at a few cm.
+    """
+    data, ref_outs = _ref_skidpad_replay()
+    our_outs = _our_skidpad_replay(data)
+    deviations = np.array(
+        [
+            path_parity_deviation(ref_out, our_out)
+            for (ref_out, relocalized), our_out in zip(ref_outs, our_outs)
+            if relocalized
+        ]
+    )
+    assert len(deviations) > 300, "reference relocalized late"
+    assert np.median(deviations) < 0.03, f"median {np.median(deviations):.3f}"
+    assert np.percentile(deviations, 90) < 0.06, (
+        f"p90 {np.percentile(deviations, 90):.3f}"
+    )
+    assert deviations.max() < 0.3, f"max {deviations.max():.3f}"
+
+
+@pytest.mark.skipif(not SKIDPAD_JSON.exists(), reason="skidpad replay log missing")
+def test_skidpad_replay_parity_reference_table():
+    """Same full replay with the reference's own hardcoded path table
+    injected — isolates the pipeline from the table data: the planner must
+    be centimeter-exact (median < 5 mm), up to at most a handful of frames
+    where the windowed tracking argmin sits on an exact tie between two path
+    points and float32 breaks it differently than the reference's float64
+    (the slice shifts by one 10 cm step at a lap junction)."""
+    from fsd_path_planning.relocalization.skidpad.skidpad_path_data import (
+        BASE_SKIDPAD_PATH as REF_TABLE,
+    )
+
+    import ft_fsd_path_planning_tpu.assets.known_paths as kp
+    import ft_fsd_path_planning_tpu.models.planner as planner_mod
+    import ft_fsd_path_planning_tpu.models.relocalization as reloc_mod
+    from ft_fsd_path_planning_tpu.models import facade as facade_mod
+
+    saved = kp.BASE_SKIDPAD_PATH
+    data, ref_outs = _ref_skidpad_replay()
+    try:
+        kp.BASE_SKIDPAD_PATH = REF_TABLE
+        planner_mod.BASE_SKIDPAD_PATH = REF_TABLE
+        reloc_mod.BASE_SKIDPAD_PATH = REF_TABLE
+        # the table is baked into the traced programs and the cached
+        # reference centers — drop every cache that captured it
+        reloc_mod._reference_centers.cache_clear()
+        planner_mod._initial_state_jit.cache_clear()
+        facade_mod._jitted_step.cache_clear()
+
+        our_outs = _our_skidpad_replay(data)
+    finally:
+        kp.BASE_SKIDPAD_PATH = saved
+        planner_mod.BASE_SKIDPAD_PATH = saved
+        reloc_mod.BASE_SKIDPAD_PATH = saved
+        reloc_mod._reference_centers.cache_clear()
+        planner_mod._initial_state_jit.cache_clear()
+        facade_mod._jitted_step.cache_clear()
+
+    deviations = np.array(
+        [
+            path_parity_deviation(ref_out, our_out)
+            for (ref_out, relocalized), our_out in zip(ref_outs, our_outs)
+            if relocalized
+        ]
+    )
+    assert np.median(deviations) < 0.005, f"median {np.median(deviations):.4f}"
+    assert np.percentile(deviations, 95) < 0.05, (
+        f"p95 {np.percentile(deviations, 95):.3f}"
+    )
+    n_over = int(np.sum(deviations > 0.05))
+    assert n_over <= 5, f"{n_over} frames over 5 cm"
+    assert deviations.max() < 0.3, f"max {deviations.max():.3f}"
