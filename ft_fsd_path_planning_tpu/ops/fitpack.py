@@ -164,6 +164,44 @@ def _normal_eqs(b: Array, y: Array, n_int: Array):
     return g, rhs, live
 
 
+def _band_chol_diag_sum(g: Array, live: Array) -> Array:
+    """sum(diag(chol(G))) over live coefficients via a statically-unrolled
+    half-bandwidth-4 Cholesky recurrence (pure vector ops — XLA's dense
+    cholesky lowers to a scalar-core loop on this TPU target). Only the
+    factor's diagonal is needed (FITPACK's initial p, fpcurf.f:253)."""
+    bw = K + 1  # half-bandwidth of B^T B (+1 in part 2, but unused there)
+    # l_cols[j] holds column offsets -bw..-1 relative to the diagonal
+    l_rows = []
+    diag = []
+    for i in range(NC):
+        row = []
+        for off in range(bw, 0, -1):
+            j = i - off
+            if j < 0:
+                row.append(None)
+                continue
+            # L[i, j] = (g[i, j] - sum_k L[i, k] L[j, k]) / L[j, j]
+            acc = g[i, j]
+            for off2 in range(bw, 0, -1):
+                k_idx = i - off2
+                if k_idx < 0 or k_idx >= j:
+                    continue
+                a = row[bw - off2]
+                bcoef = l_rows[j][bw - (j - k_idx)] if (j - k_idx) <= bw else None
+                if a is not None and bcoef is not None:
+                    acc = acc - a * bcoef
+            row.append(acc / diag[j])
+        s = g[i, i]
+        for off in range(bw, 0, -1):
+            if row[bw - off] is not None:
+                s = s - row[bw - off] * row[bw - off]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        diag.append(d)
+        l_rows.append(row)
+    dvec = jnp.stack(diag)
+    return jnp.sum(jnp.where(live, dvec, 0.0))
+
+
 def _lsq_solve(b: Array, y: Array, mask: Array, n_int: Array):
     """LSQ spline coefficients on the current knots.
 
@@ -344,8 +382,8 @@ def _root_rati(b, y, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int):
         fp = jnp.sum(jnp.sum((fitted - y) ** 2, axis=1) * mask.astype(b.dtype))
         return c, fp - s
 
-    def body(carry, _):
-        (p, p1, f1, p3, f3, p3_inf, ich1, ich3, c_best, conv, stop) = carry
+    def body(carry):
+        (p, p1, f1, p3, f3, p3_inf, ich1, ich3, c_best, conv, stop, it) = carry
         c2, f2 = solve_at(p)
 
         active = ~(conv | stop)
@@ -393,8 +431,12 @@ def _root_rati(b, y, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int):
 
         return (
             p_out, p1_out, f1_out, p3_out, f3_out, p3_inf_out,
-            ich1_out, ich3_out, c_best, conv_out, stop_out,
-        ), None
+            ich1_out, ich3_out, c_best, conv_out, stop_out, it + 1,
+        )
+
+    def cond(carry):
+        conv, stop, it = carry[9], carry[10], carry[11]
+        return (it < MAXIT) & ~(conv | stop)
 
     init = (
         p0,
@@ -408,8 +450,9 @@ def _root_rati(b, y, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int):
         c_lsq,
         jnp.asarray(False),
         jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
     )
-    carry, _ = jax.lax.scan(body, init, None, length=MAXIT)
+    carry = jax.lax.while_loop(cond, body, init)
     return carry[8]
 
 
@@ -475,8 +518,8 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
     t_int0 = jnp.full((MAX_INT,), _BIG, dtype)
     n_int0 = jnp.asarray(0, jnp.int32)
 
-    def part1_body(carry, it):
-        (t_int, n_int, fp_prev, nplus_prev, done, fp0) = carry
+    def part1_body(carry):
+        (t_int, n_int, fp_prev, nplus_prev, done, fp0, it) = carry
         t_full = _full_knots(t_int, n_int, u_max)
         b = _design(u, mask, t_full, n_int)
         c, fp, resid = _lsq_solve(b, points, mask, n_int)
@@ -523,8 +566,15 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
         t_out = jnp.where(done_now, t_int, t_int2)
         n_out = jnp.where(done_now, n_int, n_int2)
         # budget exhausted without acceptance: accept the current set (the
-        # FITPACK `n == nest` path, fpcurf.f:165) — handled after the scan
-        return (t_out, n_out, fp, nplus, done_now, fp0), None
+        # FITPACK `n == nest` path, fpcurf.f:165) — handled after the loop
+        return (t_out, n_out, fp, nplus, done_now, fp0, it + 1)
+
+    def part1_cond(carry):
+        (t_int, n_int, _, _, done, _, it) = carry
+        # done elements freeze; budget-full-but-not-done elements also make
+        # no further progress (insertions are masked) — exclude both so the
+        # batched while doesn't spin
+        return (it < OUTER) & ~done & (n_int < MAX_INT)
 
     init = (
         t_int0,
@@ -533,9 +583,10 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         jnp.asarray(0.0, dtype),
+        jnp.asarray(0, jnp.int32),
     )
-    carry, _ = jax.lax.scan(part1_body, init, jnp.arange(OUTER))
-    (t_int, n_int, fp_last, _, done, fp0) = carry
+    carry = jax.lax.while_loop(part1_cond, part1_body, init)
+    (t_int, n_int, fp_last, _, done, fp0, _) = carry
 
     # the knot set froze at acceptance, so one post-scan solve reproduces the
     # accepted LSQ exactly (or, if the scan ran out / hit the budget, runs
@@ -544,8 +595,7 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
     b = _design(u, mask, t_full, n_int)
     c_lsq, fp_lsq, _ = _lsq_solve(b, points, mask, n_int)
     g_chol, _, live_c = _normal_eqs(b, points, n_int)
-    chol = jnp.linalg.cholesky(g_chol)
-    diag_sum = jnp.sum(jnp.where(live_c, jnp.diagonal(chol), 0.0))
+    diag_sum = _band_chol_diag_sum(g_chol, live_c)
 
     # ---- part 2 (skipped when no interior knots, or when the LSQ already
     # sits within acc of s — FITPACK returns the LSQ spline in those cases)
