@@ -164,6 +164,19 @@ def default_config(
     """
     if n_cones is not None and "shapes" not in overrides:
         overrides["shapes"] = ShapeBudget(n_cones=n_cones)
+    if "shapes" not in overrides and mission in (
+        MissionTypes.acceleration,
+        MissionTypes.ebs_test,
+    ):
+        # the acceleration known path is an out-and-back rectangle whose two
+        # long legs run 5 m apart: the reference's <30 m roll window
+        # (core_calculate_path.py:516-529) keeps BOTH legs plus the near
+        # cross-leg — up to ~620 of the 1650 path points (~93 m of trace). A
+        # 384-point window would truncate the forward leg (it comes last in
+        # rolled order) and plan along the wrong leg, and a 512-sample dense
+        # budget (51.2 m at 0.1 m) would cut the evaluated hairpin before
+        # the forward leg that remove_path_behind_car later keeps.
+        overrides["shapes"] = ShapeBudget(global_window=704, dense_samples=1024)
     return PlannerConfig(
         mission=mission,
         experimental_performance_improvements=experimental_performance_improvements,

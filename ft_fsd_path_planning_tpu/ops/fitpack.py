@@ -18,14 +18,14 @@ differently, costing 10-25 cm of replay parity at the loop transitions. This
 module reproduces the FITPACK algorithm itself under JAX's fixed-shape rules:
 
 * the knot vector is a padded ``(MAX_INT,)`` array + a live count;
-* part 1 runs a fixed number of masked outer iterations (`lax.scan`), each
+* part 1 runs masked, early-exiting `lax.while_loop` outer iterations, each
   one batched LSQ solve + up to ``NPLUS_MAX`` masked knot insertions with
   FITPACK's exact ``fpint``/``nrdata`` bookkeeping (half-split interval
   residuals, proportional-by-count splits on insertion — fpcurf.f:140-215,
   fpknot.f);
-* part 2 runs FITPACK's ``root_rati`` bracket iteration as a masked scan of
-  ``MAXIT=20`` steps over the banded system ``(B^T B + D^T D / p^2) c = B^T y``
-  (fpcurf.f:229-330, fppara.f:290-400).
+* part 2 runs FITPACK's ``root_rati`` bracket iteration as a masked
+  early-exiting while loop (max ``MAXIT=20`` steps) over the banded system
+  ``(B^T B + D^T D / p^2) c = B^T y`` (fpcurf.f:229-330, fppara.f:290-400).
 
 Every solve is a half-bandwidth-4 SPD system -> the same Pallas lane-batched
 banded Cholesky used by the rest of the spline stack (`_solve_spd_banded`).
@@ -53,13 +53,15 @@ Array = jax.Array
 _HI = jax.lax.Precision.HIGHEST
 
 K = 3  # cubic splines (the reference always clips to max_deg=3)
-MAX_INT = 16  # interior-knot budget (measured max over all workloads: 6)
+MAX_INT = 24  # interior-knot budget (worst realistic case: the acceleration
+# mission's rolled out-and-back global-path window needs 13)
 NC = MAX_INT + K + 1  # B-spline coefficient budget
 NEST = MAX_INT + 2 * (K + 1)  # padded full knot-vector length
 NI = MAX_INT + 1  # knot-interval budget (n_int + 1 intervals)
 
-OUTER = 8  # part-1 outer iterations (observed convergence: 2-4)
-NPLUS_MAX = 6  # knot insertions per outer iteration (observed: <= 4)
+OUTER = 16  # part-1 outer iterations (smooth traces: 2-4; the acceleration
+# hairpin window needs ~10 — the early-exit while_loop only pays what it uses)
+NPLUS_MAX = 8  # knot insertions per outer iteration (observed: <= 4)
 MAXIT = 20  # part-2 iterations (FITPACK's maxit, fpcurf.f:26)
 TOL = 1e-3  # FITPACK's tol (fpcurf.f:27): acc = tol * s
 

@@ -30,9 +30,22 @@ def accel_frames(n_frames=6):
 
 @pytest.mark.parametrize("mission", ["acceleration", "ebs_test"])
 def test_acceleration_like_mission(mission):
+    """Path parity on the acceleration/EBS missions.
+
+    The reference's relocalizer draws its RANSAC 3-subsets from the UNSEEDED
+    global NumPy RNG (acceleration_relocalization.py:32 `np.random.choice`),
+    so its own yaw estimate varies ~2.3 mrad run-to-run and its own paths
+    deviate up to ~6.3 cm between two invocations in the same process
+    (measured over seeds {None,1..4}). Parity is therefore asserted to that
+    envelope: exact translation (the origin pose, deterministic), rotation
+    within 5 mrad, and path deviation within 8 cm (2.9 mrad of yaw over the
+    ~25 m window). The pipeline downstream of the relocalizer is
+    deterministic and FITPACK-exact (see test_fitpack.py / the skidpad
+    reference-table replay, where parity is millimetric)."""
     ref_planner = ref_pkg.PathPlanner(getattr(ref_pkg.MissionTypes, mission))
     our_planner = PathPlanner(getattr(MissionTypes, mission))
 
+    devs = []
     for cones, pos, direction in accel_frames():
         ref_out = ref_planner.calculate_path_in_global_frame(
             [c.copy() for c in cones], pos.copy(), direction.copy()
@@ -40,17 +53,20 @@ def test_acceleration_like_mission(mission):
         our_out = our_planner.calculate_path_in_global_frame(cones, pos, direction)
         assert our_out.shape == (40, 4)
         assert np.all(np.isfinite(our_out))
+        if ref_planner.relocalization_info is not None:
+            devs.append(path_parity_deviation(ref_out, our_out))
 
-    assert (ref_planner.relocalization_info is None) == (
-        our_planner.relocalization_info is None
-    )
-    if our_planner.relocalization_info is not None:
-        ref_info = ref_planner.relocalization_info
-        our_info = our_planner.relocalization_info
-        np.testing.assert_allclose(
-            our_info.translation, ref_info.translation, atol=0.3
-        )
-        assert abs(our_info.rotation - ref_info.rotation) < 0.1
+    assert ref_planner.relocalization_info is not None
+    assert our_planner.relocalization_info is not None
+    assert len(devs) >= 5
+    assert max(devs) < 0.08, f"max deviation {max(devs):.3f}"
+
+    ref_info = ref_planner.relocalization_info
+    our_info = our_planner.relocalization_info
+    # translation is the recorded origin pose — bit-deterministic
+    np.testing.assert_allclose(our_info.translation, ref_info.translation, atol=1e-5)
+    # rotation inherits the reference RANSAC's run-to-run spread
+    assert abs(our_info.rotation - ref_info.rotation) < 0.005
 
 
 def test_trackdrive_with_global_path():
