@@ -86,6 +86,70 @@ def _jitted_step(cfg: PlannerConfig):
     return jax.jit(partial(planner_step, cfg))
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_presorted_step(cfg: PlannerConfig):
+    from ft_fsd_path_planning_tpu.models.planner import planner_step_presorted
+
+    return jax.jit(partial(planner_step_presorted, cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_start_cones(cfg: PlannerConfig):
+    """Per-side starting-cone selection only — the cheap program the sorting
+    cache's similarity check needs before deciding to skip the full sort
+    (reference input_is_very_similar_to_previous_input,
+    core_trace_sorter.py:218-250 checks starting cones first)."""
+    from ft_fsd_path_planning_tpu.models import sorting
+
+    def run(cones, mask, position, direction):
+        if not cfg.sorting.use_unknown_cones:
+            mask = mask & (cones[:, 2] != ConeTypes.UNKNOWN)
+        out = []
+        for ct in (int(ConeTypes.LEFT), int(ConeTypes.RIGHT)):
+            prefix, n_first = sorting.select_starting_cones(
+                cfg.sorting, cones, mask, ct, position, direction
+            )
+            out.append((prefix, n_first))
+        return out
+
+    return jax.jit(run)
+
+
+def _cone_arrays_are_similar(
+    a: Optional[np.ndarray], b: Optional[np.ndarray], threshold: float
+) -> bool:
+    """Host-side replica of the reference's similarity test
+    (core_trace_sorter.py:57-86): same shape, every cone within ``threshold``
+    of its nearest counterpart, matching colors."""
+    if a is None or b is None:
+        return False
+    if a.shape != b.shape:
+        return False
+    if a.shape[0] == 0:
+        return True
+    d = np.sum((a[:, None, :2] - b[None, :, :2]) ** 2, axis=-1)
+    closest = d.min(axis=1)
+    if not np.all(closest < threshold * threshold):
+        return False
+    if a.shape[1] == 2:
+        return True
+    idx = d.argmin(axis=1)
+    return bool(np.all(a[:, 2] == b[idx, 2]))
+
+
+def _remap_order(cached_sorted: np.ndarray, current_xy: np.ndarray) -> np.ndarray:
+    """Apply a cached sorted ORDER to the current cone positions: each cached
+    sorted cone is replaced by its nearest current cone (the similarity check
+    guarantees a unique <0.1 m counterpart; track cones are >=1.4 m apart).
+    Mirrors the reference cache-hit semantics where the cached config INDICES
+    are applied to the fresh flattened cone array
+    (core_trace_sorter.py:298-301 + :205-216)."""
+    if len(cached_sorted) == 0:
+        return cached_sorted
+    d = np.sum((cached_sorted[:, None] - current_xy[None]) ** 2, axis=-1)
+    return current_xy[d.argmin(axis=1)]
+
+
 class PathPlanner:
     """Drop-in replacement for the reference PathPlanner."""
 
@@ -102,6 +166,17 @@ class PathPlanner:
         self._state = make_initial_state(self.cfg)
         self._step = _jitted_step(self.cfg)
         self.global_path: Optional[FloatArray] = None
+        # sorting-result cache (experimental_performance_improvements):
+        # reference ConeSortingCacheEntry, core_trace_sorter.py:100-110
+        self._sort_cache: Optional[dict] = None
+        self.sort_cache_hits: int = 0
+        self._use_sort_cache = (
+            self.cfg.experimental_performance_improvements
+            and not self.cfg.has_relocalizer
+        )
+        if self._use_sort_cache:
+            self._step_presorted = _jitted_presorted_step(self.cfg)
+            self._start_cones = _jitted_start_cones(self.cfg)
 
     def _convert_direction_to_array(self, direction: Any) -> FloatArray:
         direction = np.squeeze(np.array(direction, float))
@@ -145,7 +220,10 @@ class PathPlanner:
             position=jnp.asarray(vehicle_position, jnp.float32),
             direction=jnp.asarray(vehicle_direction, jnp.float32),
         )
-        out, self._state = self._step(self._state, frame)
+        if self._use_sort_cache:
+            out, self._state = self._step_with_sort_cache(frame, pts, mask)
+        else:
+            out, self._state = self._step(self._state, frame)
 
         final_path = np.asarray(out.path, np.float64)
         if not return_intermediate_results:
@@ -168,6 +246,66 @@ class PathPlanner:
             unpad_int(out.left_to_right, out.left_mask),
             unpad_int(out.right_to_left, out.right_mask),
         )
+
+    def _step_with_sort_cache(self, frame: FrameInput, pts: np.ndarray, mask: np.ndarray):
+        """Reference sorting-result cache (core_trace_sorter.py:189-250,
+        298-301) at the facade boundary: if the per-side starting cones AND
+        the full flattened cone set each sit within 0.1 m (positions and
+        colors) of the previous frame's, skip the beam-search sorter and
+        re-dispatch with the cached sorted order applied to the CURRENT cone
+        positions. Unlike the reference's per-side cache this reuses only
+        when BOTH sides hit (the fused step runs both sides as one search)."""
+        threshold = 0.1
+        if not self.cfg.sorting.use_unknown_cones:
+            mask = mask & (pts[:, 2] != ConeTypes.UNKNOWN)
+        flat = pts[mask]
+
+        (pl, nl), (pr, nr) = self._start_cones(
+            frame.cones, frame.mask, frame.position, frame.direction
+        )
+
+        def start_rows(prefix, n):
+            idx = np.asarray(prefix)[: int(n)]
+            return pts[idx] if len(idx) else np.zeros((0, 3), np.float32)
+
+        start_l = start_rows(pl, nl)
+        start_r = start_rows(pr, nr)
+
+        c = self._sort_cache
+        hit = (
+            c is not None
+            and _cone_arrays_are_similar(start_l, c["start_l"], threshold)
+            and _cone_arrays_are_similar(start_r, c["start_r"], threshold)
+            and _cone_arrays_are_similar(flat, c["flat"], threshold)
+        )
+        if hit:
+            self.sort_cache_hits += 1
+            xy = flat[:, :2]
+            sl = np.array(c["sorted_l"])
+            sr = np.array(c["sorted_r"])
+            lm, rm = c["sorted_l_mask"], c["sorted_r_mask"]
+            sl[lm] = _remap_order(sl[lm], xy)
+            sr[rm] = _remap_order(sr[rm], xy)
+            return self._step_presorted(
+                self._state,
+                frame,
+                jnp.asarray(sl),
+                jnp.asarray(lm),
+                jnp.asarray(sr),
+                jnp.asarray(rm),
+            )
+
+        out, state = self._step(self._state, frame)
+        self._sort_cache = {
+            "flat": flat,
+            "start_l": start_l,
+            "start_r": start_r,
+            "sorted_l": np.asarray(out.sorted_left, np.float32),
+            "sorted_l_mask": np.asarray(out.sorted_left_mask, bool),
+            "sorted_r": np.asarray(out.sorted_right, np.float32),
+            "sorted_r_mask": np.asarray(out.sorted_right_mask, bool),
+        }
+        return out, state
 
     @property
     def relocalization_info(self) -> Optional[RelocalizationInformation]:

@@ -102,6 +102,41 @@ def make_initial_state(cfg: PlannerConfig) -> PlannerState:
 def planner_step(
     cfg: PlannerConfig, state: PlannerState, frame: FrameInput
 ) -> tuple[StepOutput, PlannerState]:
+    return _planner_step_impl(cfg, state, frame, None)
+
+
+def planner_step_presorted(
+    cfg: PlannerConfig,
+    state: PlannerState,
+    frame: FrameInput,
+    sorted_left: Array,
+    sorted_left_mask: Array,
+    sorted_right: Array,
+    sorted_right_mask: Array,
+) -> tuple[StepOutput, PlannerState]:
+    """Step variant that skips the beam-search sorter and reuses a previous
+    frame's sorted cone order — the TPU equivalent of the reference's
+    `experimental_performance_improvements` sorting-result cache
+    (core_trace_sorter.py:189-250, 298-301): when the facade's host-side
+    similarity check passes, the cached order (remapped onto the current
+    cone positions) is fed here and only matching + path calculation run."""
+    if cfg.has_relocalizer:
+        raise ValueError("presorted step only exists for the sorting pipeline")
+    presorted = sorting.SortingOutput(
+        left_cones=sorted_left,
+        left_mask=sorted_left_mask,
+        right_cones=sorted_right,
+        right_mask=sorted_right_mask,
+    )
+    return _planner_step_impl(cfg, state, frame, presorted)
+
+
+def _planner_step_impl(
+    cfg: PlannerConfig,
+    state: PlannerState,
+    frame: FrameInput,
+    presorted: sorting.SortingOutput | None,
+) -> tuple[StepOutput, PlannerState]:
     s_len = cfg.shapes.side_len
     l_len = cfg.sorting.max_length
 
@@ -147,10 +182,13 @@ def planner_step(
         if not cfg.sorting.use_unknown_cones:
             mask = mask & (frame.cones[:, 2] != ConeTypes.UNKNOWN)
 
-        with jax.named_scope("cone_sorting"):
-            sort_out = sorting.run_cone_sorting(
-                cfg, frame.cones, mask, position, direction
-            )
+        if presorted is None:
+            with jax.named_scope("cone_sorting"):
+                sort_out = sorting.run_cone_sorting(
+                    cfg, frame.cones, mask, position, direction
+                )
+        else:
+            sort_out = presorted
         sorted_l, sorted_l_m = sort_out.left_cones, sort_out.left_mask
         sorted_r, sorted_r_m = sort_out.right_cones, sort_out.right_mask
 
