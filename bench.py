@@ -166,6 +166,61 @@ def _latency_b1(cfg, n_frames: int) -> dict[str, float]:
     }
 
 
+def _replay_bench(cfg) -> dict[str, float]:
+    """Recorded-session replay: a stateful `lax.scan` over the committed
+    closed-track session (the real workload shape — state carried frame to
+    frame, not i.i.d. batches), loaded through the native C++ loader.
+    Reports throughput and p95/max deviation from the session's ground-truth
+    centerline (re-derived from the generator seed)."""
+    import jax.numpy as jnp
+
+    from ft_fsd_path_planning_tpu.demo.make_session import SESSION_PATH, ground_truth
+    from ft_fsd_path_planning_tpu.models.planner import FrameInput, make_initial_state
+    from ft_fsd_path_planning_tpu.native.loader import load_session
+    from ft_fsd_path_planning_tpu.parallel.batch import path_deviation, replay_scan
+
+    if not SESSION_PATH.exists():
+        return {}
+    cones, mask, positions, directions = load_session(
+        str(SESSION_PATH), n_max=cfg.shapes.n_cones
+    )
+    t_frames = len(cones)
+    frames = FrameInput(
+        cones=jnp.asarray(cones),
+        mask=jnp.asarray(mask.astype(bool)),
+        position=jnp.asarray(positions),
+        direction=jnp.asarray(directions),
+    )
+    scan = jax.jit(partial(replay_scan, cfg))
+
+    state = make_initial_state(cfg)
+    _, paths = scan(state, frames)
+    _fetch(paths)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _, paths = scan(state, frames)
+    _fetch(paths)
+    elapsed = time.perf_counter() - t0
+    solves_per_s = t_frames * iters / elapsed
+
+    _, _, _, cl, _ = ground_truth()
+    cl = np.concatenate([cl, cl[:1]])  # close the loop: path_deviation
+    # measures against an OPEN polyline; frames at the lap seam would
+    # otherwise miss the closing segment
+    ref_xy = jnp.broadcast_to(
+        jnp.asarray(cl, jnp.float32)[None], (t_frames, len(cl), 2)
+    )
+    dev = np.asarray(jax.jit(path_deviation)(paths, ref_xy))
+    dev = dev[10:]  # skip the cold-start frames (initial straight path)
+    return {
+        "replay_solves_per_s": round(solves_per_s, 1),
+        "replay_centerline_dev_p95_m": round(float(np.percentile(dev, 95)), 4),
+        "replay_centerline_dev_max_m": round(float(dev.max()), 4),
+    }
+
+
 def main() -> None:
     # persistent compilation cache: the three bench programs (batch, B=1,
     # large-map) dominate cold wall time; repeat runs skip the compiles
@@ -188,6 +243,10 @@ def main() -> None:
         extras["mfu_pct"] = round(100.0 * achieved / _peak_flops(), 3)
 
     extras.update(_latency_b1(cfg, n_frames=int(os.environ.get("BENCH_LAT_FRAMES", "100"))))
+
+    # replay runs the whole-map budget: the session's SLAM map carries ~190
+    # cones — the default 128-cone budget would silently drop track sections
+    extras.update(_replay_bench(large_map_config(MissionTypes.trackdrive)))
 
     # whole-SLAM-map budget (n_cones=256): the workload the <5 cm target is
     # defined on (reference flattens entire maps, core_trace_sorter.py:37-54)

@@ -38,3 +38,49 @@ def test_native_loader_speed():
     python_t = time.perf_counter() - t0
     # the native path should never be slower
     assert native_t < python_t, (native_t, python_t)
+
+
+def test_committed_session_is_regenerable_and_loads():
+    """The shipped closed-track session (demo/closed_track_session.json) is
+    self-contained: deterministic from its seed, loadable through the native
+    loader, and plannable — no reference mount required."""
+    import json
+
+    from ft_fsd_path_planning_tpu.demo.make_session import (
+        SESSION_PATH,
+        generate_session,
+    )
+
+    committed = json.loads(SESSION_PATH.read_text())
+    assert committed == json.loads(json.dumps(generate_session()))
+
+    cones, mask, positions, directions = loader.load_session(
+        str(SESSION_PATH), n_max=256
+    )
+    assert len(cones) == 300
+    assert mask.sum(axis=1).min() > 100  # whole map visible every frame
+    # native path agrees with the pure-Python fallback on this file too
+    python = loader._load_python(str(SESSION_PATH), n_max=256, max_frames=4096)
+    for a, b in zip((cones, mask, positions, directions), python):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_committed_session_plans():
+    from ft_fsd_path_planning_tpu import MissionTypes, PathPlanner
+    from ft_fsd_path_planning_tpu.config import large_map_config
+    from ft_fsd_path_planning_tpu.demo.make_session import SESSION_PATH
+
+    planner = PathPlanner(
+        MissionTypes.trackdrive,
+        config=large_map_config(MissionTypes.trackdrive),
+    )
+    import json
+
+    frames = json.loads(SESSION_PATH.read_text())[:5]
+    for frame in frames:
+        cones = [np.asarray(c, float).reshape(-1, 2) for c in frame["slam_cones"]]
+        out = planner.calculate_path_in_global_frame(
+            cones, np.asarray(frame["car_position"]), np.asarray(frame["car_direction"])
+        )
+        assert out.shape == (40, 4)
+        assert np.all(np.isfinite(out))
