@@ -70,6 +70,21 @@ _BIG = 3.0e38
 _EPS_DIAG = 1e-6
 
 
+def _varying_zeros(anchor: Array):
+    """(f32 0.0, int32 0, False) that inherit ``anchor``'s shard_map
+    varying-axes status. Loop carries initialized from replicated constants
+    trip shard_map's `check_vma` (the body makes them data-varying, so input
+    and output carry types differ); seeding the constants from a
+    data-derived zero keeps the whole carry varying without coupling this
+    mesh-agnostic kernel code to any axis name (the jax.lax.pcast
+    alternative needs the axis name in scope)."""
+    zf = jnp.zeros((), anchor.dtype) * jnp.max(anchor) * 0.0
+    zf = jnp.where(jnp.isfinite(zf), zf, 0.0)
+    zi = zf.astype(jnp.int32)
+    zb = zf > 0.0
+    return zf, zi, zb
+
+
 class FpSpline(NamedTuple):
     """A fitted FITPACK-style spline with an adaptive (padded) knot vector."""
 
@@ -440,19 +455,20 @@ def _root_rati(b, y, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int):
         conv, stop, it = carry[9], carry[10], carry[11]
         return (it < MAXIT) & ~(conv | stop)
 
+    zf, zi, zb = _varying_zeros(p0)
     init = (
         p0,
         jnp.zeros_like(p0),
         f1_0,
         jnp.zeros_like(p0),  # p3 numeric value unused while p3_inf
         f3_0,
-        jnp.asarray(True),
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(0, jnp.int32),
+        ~zb,  # True
+        zi,
+        zi,
         c_lsq,
-        jnp.asarray(False),
-        jnp.asarray(False),
-        jnp.asarray(0, jnp.int32),
+        zb,
+        zb,
+        zi,
     )
     carry = jax.lax.while_loop(cond, body, init)
     return carry[8]
@@ -578,14 +594,15 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
         # batched while doesn't spin
         return (it < OUTER) & ~done & (n_int < MAX_INT)
 
+    zf, zi, zb = _varying_zeros(u)
     init = (
-        t_int0,
-        n_int0,
-        jnp.asarray(0.0, dtype),
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(False),
-        jnp.asarray(0.0, dtype),
-        jnp.asarray(0, jnp.int32),
+        t_int0 + zf,
+        n_int0 + zi,
+        zf,
+        zi,
+        zb,
+        zf,
+        zi,
     )
     carry = jax.lax.while_loop(part1_cond, part1_body, init)
     (t_int, n_int, fp_last, _, done, fp0, _) = carry

@@ -134,10 +134,12 @@ def sharded_batched_step(cfg: PlannerConfig, mesh: Mesh, axis: str = "data"):
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=(spec, spec, P()),
-        # per-shard compute only (pure data parallel): skip the
-        # varying-manual-axes propagation check, which rejects loop carries
-        # initialized from replicated constants
-        check_vma=False,
+        # varying-manual-axes checking stays ON: it guards exactly the class
+        # of bug where a future collective reads a value with the wrong
+        # replication status. Loop carries that initialize from replicated
+        # constants satisfy it via data-derived zero seeds
+        # (ops/fitpack.py::_varying_zeros).
+        check_vma=True,
     )
     return jax.jit(mapped)
 
