@@ -46,6 +46,13 @@ _PEAK_F32_FLOPS = {
     "v6": 4.59e14 / 4,
 }
 
+# VPU issue-rate estimate (f32 ops/s): ~4 ALUs x (8, 128) lanes x ~940 MHz
+# per v5e core. The planner is a vector program (beam-search gates, masked
+# selects, small banded solves — no contraction bigger than a few hundred
+# rows), so the MXU peak wildly understates utilization; the VPU estimate is
+# the honest roofline. See PERF.md for the derivation and caveats.
+_PEAK_VPU_OPS = 3.85e12
+
 
 def _peak_flops() -> float:
     kind = jax.devices()[0].device_kind.lower()
@@ -241,6 +248,7 @@ def main() -> None:
         achieved = solves_per_s * flops_per_solve
         extras["flops_per_solve"] = round(flops_per_solve)
         extras["mfu_pct"] = round(100.0 * achieved / _peak_flops(), 3)
+        extras["vpu_pct"] = round(100.0 * achieved / _PEAK_VPU_OPS, 1)
 
     extras.update(_latency_b1(cfg, n_frames=int(os.environ.get("BENCH_LAT_FRAMES", "100"))))
 

@@ -139,6 +139,12 @@ class PlannerConfig:
     path: PathConfig = PathConfig()
     shapes: ShapeBudget = ShapeBudget()
     experimental_performance_improvements: bool = False
+    # static specialization: when False, the pathing stage compiles without
+    # the global-path branch and fits its centerline on a small buffer (the
+    # matches/previous-path centerline never exceeds ~40 live points, vs the
+    # global_window-sized rolled-path window). PathPlanner.set_global_path
+    # flips this and retraces; relocalizer missions always carry it.
+    supports_global_path: bool = False
 
     @property
     def has_relocalizer(self) -> bool:
@@ -164,6 +170,12 @@ def default_config(
     """
     if n_cones is not None and "shapes" not in overrides:
         overrides["shapes"] = ShapeBudget(n_cones=n_cones)
+    if mission in (
+        MissionTypes.acceleration,
+        MissionTypes.ebs_test,
+        MissionTypes.skidpad,
+    ):
+        overrides.setdefault("supports_global_path", True)
     if "shapes" not in overrides and mission in (
         MissionTypes.acceleration,
         MissionTypes.ebs_test,

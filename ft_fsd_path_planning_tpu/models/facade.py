@@ -188,6 +188,16 @@ class PathPlanner:
 
     def set_global_path(self, global_path: Optional[FloatArray]) -> None:
         self.global_path = global_path
+        if global_path is not None and not self.cfg.supports_global_path:
+            # the common trackdrive program compiles WITHOUT the global-path
+            # branch (small centerline buffer); opting in switches to the
+            # global-path-capable variant and retraces once. State shapes
+            # are identical, so the carried state survives the switch.
+            self.cfg = dataclasses.replace(self.cfg, supports_global_path=True)
+            self._step = _jitted_step(self.cfg)
+            if self._use_sort_cache:
+                self._step_presorted = _jitted_presorted_step(self.cfg)
+                self._start_cones = _jitted_start_cones(self.cfg)
         if global_path is None:
             buf = pathing.GlobalPathBuffer.empty(GLOBAL_PATH_BUFFER_LEN)
         else:

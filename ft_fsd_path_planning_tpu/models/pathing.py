@@ -146,12 +146,11 @@ def _global_path_centerline(
 
 
 def _matches_centerline(
-    cfg: PlannerConfig, inp: PathInput, prev_xy: Array
+    cfg: PlannerConfig, inp: PathInput, prev_xy: Array, cl: int
 ) -> tuple[Array, Array]:
     """Midpoints of matched cone pairs of the better side
     (select_side_to_use + calculate_centerline_points_of_matches,
     core_calculate_path.py:151-205), previous path if < 2 matches."""
-    cl = cfg.shapes.global_window
 
     def side_score(matches: Array, mask: Array) -> tuple[Array, Array]:
         has = (matches != -1) & mask
@@ -331,13 +330,21 @@ def _parameterize_path(
     skip = jnp.maximum(jnp.where(jnp.isfinite(skip_f), skip_f.astype(jnp.int32), 1), 1)
 
     # path[::skip] (path_parameterization.py:152) — strided dynamic lookup as
-    # a one-hot contraction (out-of-range rows come back zero, masked below)
-    take = jnp.arange(d) * skip
+    # a one-hot contraction (out-of-range rows come back zero, masked below).
+    # Static sub-budgets: the input is post-trim (<= mpc_path_length / 0.1
+    # ~= 211 valid points, or ~127 for the skip>1 initial-path case), so the
+    # strided table fits 256 slots; the refit eval emits <= horizon*3 + 1
+    # ~= 121 samples, so 192 slots cover it. Shrinking these cuts the
+    # (P, d) one-hot and the per-iteration FITPACK work ~2-4x vs using the
+    # full dense budget d.
+    p_fit = min(256, d)
+    p_eval = min(192, d)
+    take = jnp.arange(p_fit) * skip
     skipped_valid = take < n_valid
     skipped = gl.take_rows(path, take)
 
     fit = fpk.fitpack_fit(skipped, skipped_valid, cfg.path.refit_smoothing)
-    pts, u_grid, pts_valid = fpk.fitpack_eval_every(fit, predict_every, d)
+    pts, u_grid, pts_valid = fpk.fitpack_eval_every(fit, predict_every, p_eval)
     n_pts = jnp.sum(pts_valid)
 
     window = jnp.minimum(n_pts // 5, 30)
@@ -357,7 +364,7 @@ def _parameterize_path(
     lin = jnp.arange(horizon, dtype=jnp.float32) * (
         jnp.maximum(n_pts - 1, 0).astype(jnp.float32) / (horizon - 1)
     )
-    indices = jnp.clip(lin.astype(jnp.int32), 0, d - 1)
+    indices = jnp.clip(lin.astype(jnp.int32), 0, p_eval - 1)
     ok = (n_pts >= horizon) & fit.ok  # duplicates -> ValueError -> fallback
 
     pts_h = gl.take_rows(pts, indices)  # (H, 2)
@@ -412,22 +419,23 @@ def run_path_calculation(
     n_l = jnp.sum(inp.left_mask)
     n_r = jnp.sum(inp.right_mask)
 
-    global_pts, global_mask = _global_path_centerline(cfg, gp, inp.position)
-    match_pts, match_mask = _matches_centerline(cfg, inp, prev_xy)
+    # static specialization: without global-path support the centerline is
+    # matches midpoints or the 40-point previous path — a 64-slot buffer
+    # instead of the global_window-sized one (the fit cost scales with it)
+    use_gp = cfg.supports_global_path
+    cl = cfg.shapes.global_window if use_gp else 64
+    match_pts, match_mask = _matches_centerline(cfg, inp, prev_xy, cl)
 
-    cl = cfg.shapes.global_window
     prev_padded = jnp.zeros((cl, 2), match_pts.dtype).at[: prev_xy.shape[0]].set(prev_xy)
     prev_mask = jnp.arange(cl) < prev_xy.shape[0]
 
     too_few_cones = (n_l < 3) & (n_r < 3)
-    camc_pts = jnp.where(
-        gp.active,
-        global_pts,
-        jnp.where(too_few_cones, prev_padded, match_pts),
-    )
-    camc_mask = jnp.where(
-        gp.active, global_mask, jnp.where(too_few_cones, prev_mask, match_mask)
-    )
+    camc_pts = jnp.where(too_few_cones, prev_padded, match_pts)
+    camc_mask = jnp.where(too_few_cones, prev_mask, match_mask)
+    if use_gp:
+        global_pts, global_mask = _global_path_centerline(cfg, gp, inp.position)
+        camc_pts = jnp.where(gp.active, global_pts, camc_pts)
+        camc_mask = jnp.where(gp.active, global_mask, camc_mask)
     camc_pts = jnp.where(camc_mask[:, None], camc_pts, 0.0)
 
     # ---- fit + densify (fit_matches_as_spline, with skidpad override)
@@ -468,9 +476,10 @@ def run_path_calculation(
     # previous path lies far away (total sorting failure), the closest
     # sample is the car-adjacent prepended point and nothing is removed,
     # while an early trim would cut the path body and change the output.
-    dense_t, n_dense_t = _remove_path_behind_car(dense, n_dense, inp.position)
-    dense = jnp.where(gp.active, dense_t, dense)
-    n_dense = jnp.where(gp.active, n_dense_t, n_dense)
+    if use_gp:
+        dense_t, n_dense_t = _remove_path_behind_car(dense, n_dense, inp.position)
+        dense = jnp.where(gp.active, dense_t, dense)
+        n_dense = jnp.where(gp.active, n_dense_t, n_dense)
 
     p1, n1 = _connect_path_to_car(dense, n_dense, inp.position, inp.direction)
     p2, n2 = _extend_path(p1, n1, inp.position, inp.direction, cfg.path.mpc_path_length)

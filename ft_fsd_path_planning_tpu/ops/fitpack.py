@@ -27,9 +27,11 @@ module reproduces the FITPACK algorithm itself under JAX's fixed-shape rules:
   early-exiting while loop (max ``MAXIT=20`` steps) over the banded system
   ``(B^T B + D^T D / p^2) c = B^T y`` (fpcurf.f:229-330, fppara.f:290-400).
 
-Every solve is a half-bandwidth-4 SPD system -> the same Pallas lane-batched
-banded Cholesky used by the rest of the spline stack (`_solve_spd_banded`).
-All index lookups are one-hot contractions (see ops/gatherless.py).
+Every solve is a half-bandwidth-4 SPD system -> the Pallas lane-batched
+banded Cholesky shared with the rest of the spline stack; only the one-off
+Cholesky-diagonal sum (FITPACK's initial p) uses a statically-unrolled band
+recurrence, since XLA's dense cholesky lowers to a scalar-core loop on this
+target. All index lookups are one-hot contractions (see ops/gatherless.py).
 
 Degree handling matches the reference's ``k = clip(m - 1, 1, 3)``
 (spline_fit.py:113): for m <= 4 data points the smoothing problem degenerates
@@ -181,40 +183,52 @@ def _normal_eqs(b: Array, y: Array, n_int: Array):
     return g, rhs, live
 
 
-def _band_chol_diag_sum(g: Array, live: Array) -> Array:
-    """sum(diag(chol(G))) over live coefficients via a statically-unrolled
-    half-bandwidth-4 Cholesky recurrence (pure vector ops — XLA's dense
-    cholesky lowers to a scalar-core loop on this TPU target). Only the
-    factor's diagonal is needed (FITPACK's initial p, fpcurf.f:253)."""
-    bw = K + 1  # half-bandwidth of B^T B (+1 in part 2, but unused there)
-    # l_cols[j] holds column offsets -bw..-1 relative to the diagonal
+_BW = K + 1  # half-bandwidth of B^T B (and of B^T B + D^T D/p^2)
+
+
+def _chol_band_factor(g: Array):
+    """Statically-unrolled half-bandwidth-4 Cholesky of a (NC, NC) SPD
+    matrix: returns (rows, diag) where rows[i] holds L[i, i-4..i-1] (None
+    for out-of-range) and diag[i] = L[i, i].
+
+    The unroll is NC * bw small vector ops that XLA fuses into the
+    surrounding computation — unlike a Pallas kernel call (dispatch
+    overhead * ~30 solves per fit) or XLA's dense cholesky (scalar-core
+    loop on this target). Used for every solve inside the FITPACK
+    iterations, where the matrix is tiny and the call count is high."""
     l_rows = []
     diag = []
     for i in range(NC):
         row = []
-        for off in range(bw, 0, -1):
+        for off in range(_BW, 0, -1):
             j = i - off
             if j < 0:
                 row.append(None)
                 continue
-            # L[i, j] = (g[i, j] - sum_k L[i, k] L[j, k]) / L[j, j]
             acc = g[i, j]
-            for off2 in range(bw, 0, -1):
+            for off2 in range(_BW, 0, -1):
                 k_idx = i - off2
                 if k_idx < 0 or k_idx >= j:
                     continue
-                a = row[bw - off2]
-                bcoef = l_rows[j][bw - (j - k_idx)] if (j - k_idx) <= bw else None
-                if a is not None and bcoef is not None:
-                    acc = acc - a * bcoef
+                a = row[_BW - off2]
+                b = l_rows[j][_BW - (j - k_idx)] if (j - k_idx) <= _BW else None
+                if a is not None and b is not None:
+                    acc = acc - a * b
             row.append(acc / diag[j])
         s = g[i, i]
-        for off in range(bw, 0, -1):
-            if row[bw - off] is not None:
-                s = s - row[bw - off] * row[bw - off]
-        d = jnp.sqrt(jnp.maximum(s, 1e-30))
-        diag.append(d)
+        for off in range(_BW, 0, -1):
+            r = row[_BW - off]
+            if r is not None:
+                s = s - r * r
+        diag.append(jnp.sqrt(jnp.maximum(s, 1e-30)))
         l_rows.append(row)
+    return l_rows, diag
+
+
+def _band_chol_diag_sum(g: Array, live: Array) -> Array:
+    """sum(diag(chol(G))) over live coefficients (FITPACK's initial p,
+    fpcurf.f:253) via the unrolled band factorization."""
+    _, diag = _chol_band_factor(g)
     dvec = jnp.stack(diag)
     return jnp.sum(jnp.where(live, dvec, 0.0))
 
@@ -564,21 +578,22 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
             u, mask, resid, t_int, n_int, endpoint_mask
         )
 
-        def ins_body(inner, jstep):
-            ti, ni, fpi, nrd = inner
-            do = (jstep < nplus) & ~done_now & (ni < MAX_INT)
+        def ins_body(inner):
+            ti, ni, fpi, nrd, jstep = inner
             ti2, ni2, fpi2, nrd2 = _insert_knot(
                 u, mask, ti, ni, fpi, nrd, endpoint_mask
             )
-            return (
-                jnp.where(do, ti2, ti),
-                jnp.where(do, ni2, ni),
-                jnp.where(do, fpi2, fpi),
-                jnp.where(do, nrd2, nrd),
-            ), None
+            return (ti2, ni2, fpi2, nrd2, jstep + 1)
 
-        (t_int2, n_int2, _, _), _ = jax.lax.scan(
-            ins_body, (t_int, n_int, fpint, nrdata), jnp.arange(NPLUS_MAX)
+        def ins_cond(inner):
+            ti, ni, fpi, nrd, jstep = inner
+            return (
+                (jstep < jnp.minimum(nplus, NPLUS_MAX)) & ~done_now & (ni < MAX_INT)
+            )
+
+        zi2 = (fp * 0.0).astype(jnp.int32)  # vma-varying 0 (see _varying_zeros)
+        (t_int2, n_int2, _, _, _) = jax.lax.while_loop(
+            ins_cond, ins_body, (t_int, n_int, fpint, nrdata, zi2)
         )
 
         t_out = jnp.where(done_now, t_int, t_int2)
