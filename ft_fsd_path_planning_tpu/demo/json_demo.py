@@ -58,6 +58,14 @@ def main() -> None:
     parser.add_argument("--remove-color-info", action="store_true")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--output-path", type=Path, default=None)
+    parser.add_argument(
+        "--dark", action="store_true",
+        help="dark-background animation (reference json_demo.py:139-154)",
+    )
+    parser.add_argument(
+        "--timing-histogram", type=Path, default=None,
+        help="save a per-frame runtime histogram PNG (reference :134-136)",
+    )
     args = parser.parse_args()
 
     mission = (
@@ -75,7 +83,17 @@ def main() -> None:
         directions = directions[: args.max_frames]
         cone_observations = cone_observations[: args.max_frames]
 
-    planner = PathPlanner(mission)
+    # auto-size the cone shape budget: whole-SLAM-map sessions (e.g. the
+    # shipped closed-track session) carry >128 cones per frame
+    max_cones = max(
+        (sum(len(c) for c in cones) for cones in cone_observations), default=0
+    )
+    if max_cones > 128:
+        from ft_fsd_path_planning_tpu.config import default_config
+
+        planner = PathPlanner(mission, config=default_config(mission, n_cones=256))
+    else:
+        planner = PathPlanner(mission)
 
     # warmup / compile (reference json_demo.py:88-94)
     t0 = time.perf_counter()
@@ -85,15 +103,19 @@ def main() -> None:
     print(f"compile + first frame: {time.perf_counter() - t0:.1f} s")
 
     results = []
+    sorted_overlays = []
     timings = []
     for i, (cones, pos, direction) in enumerate(
         zip(cone_observations, positions, directions)
     ):
         t0 = time.perf_counter()
-        out = planner.calculate_path_in_global_frame(cones, pos, direction)
+        out = planner.calculate_path_in_global_frame(
+            cones, pos, direction, return_intermediate_results=True
+        )
         dt = time.perf_counter() - t0
         timings.append(dt)
-        results.append(out)
+        results.append(out[0])
+        sorted_overlays.append((out[1], out[2]))  # sorted left / right
         if dt > 0.1:
             print(f"frame {i}: {dt * 1000:.1f} ms (outlier)")
 
@@ -104,11 +126,39 @@ def main() -> None:
         f"p99: {np.percentile(timings_arr, 99):.2f} ms"
     )
 
+    if args.timing_histogram is not None:
+        _save_histogram(args.timing_histogram, timings)
+
     if args.output_path is not None:
-        _save_animation(args.output_path, results, positions, cone_observations)
+        _save_animation(
+            args.output_path, results, positions, directions,
+            cone_observations, sorted_overlays, dark=args.dark,
+        )
 
 
-def _save_animation(path: Path, results, positions, cone_observations) -> None:
+def _save_histogram(path: Path, timings) -> None:
+    """Per-frame runtime histogram, warmup frames skipped (reference
+    json_demo.py:134-136)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; skipping histogram")
+        return
+    fig, ax = plt.subplots()
+    ax.hist(np.array(timings[10:]) * 1000, bins=30)
+    ax.set_xlabel("ms / frame")
+    ax.set_ylabel("frames")
+    fig.savefig(path)
+    print(f"saved {path}")
+
+
+def _save_animation(
+    path: Path, results, positions, directions, cone_observations,
+    sorted_overlays, dark: bool = False,
+) -> None:
     try:
         import matplotlib
 
@@ -119,19 +169,50 @@ def _save_animation(path: Path, results, positions, cone_observations) -> None:
         print("matplotlib unavailable; skipping animation")
         return
 
+    # reference color scheme incl. dark mode (json_demo.py:138-169)
+    plt.style.use("dark_background" if dark else "default")
+    unknown_color = "w" if dark else "k"
+
     fig, ax = plt.subplots(figsize=(8, 8))
     artists = []
-    for out, pos, cones in zip(results, positions, cone_observations):
+    for out, pos, direction, cones, (sl, sr) in zip(
+        results, positions, directions, cone_observations, sorted_overlays
+    ):
         frame_artists = []
-        for cone_type, color in ((ConeTypes.LEFT, "b"), (ConeTypes.RIGHT, "gold"), (ConeTypes.UNKNOWN, "gray")):
+        for cone_type, style in (
+            (ConeTypes.LEFT, "bo"),
+            (ConeTypes.RIGHT, "yo"),
+            (ConeTypes.UNKNOWN, unknown_color + "o"),
+            (ConeTypes.ORANGE_SMALL, "o"),
+            (ConeTypes.ORANGE_BIG, "o"),
+        ):
             pts = cones[cone_type]
             if len(pts):
-                frame_artists.extend(ax.plot(pts[:, 0], pts[:, 1], ".", color=color))
-        frame_artists.extend(ax.plot(out[:, 1], out[:, 2], "-r"))
-        frame_artists.extend(ax.plot([pos[0]], [pos[1]], "ks"))
+                kw = {}
+                if cone_type == ConeTypes.ORANGE_SMALL:
+                    kw["color"] = "orange"
+                elif cone_type == ConeTypes.ORANGE_BIG:
+                    kw["color"] = "darkorange"
+                frame_artists.extend(
+                    ax.plot(pts[:, 0], pts[:, 1], style, markersize=4, **kw)
+                )
+        # sorted-cone overlays (reference draws the sorted traces as lines)
+        if len(sl):
+            frame_artists.extend(ax.plot(sl[:, 0], sl[:, 1], "b-", linewidth=1))
+        if len(sr):
+            frame_artists.extend(ax.plot(sr[:, 0], sr[:, 1], "y-", linewidth=1))
+        frame_artists.extend(ax.plot(out[:, 1], out[:, 2], "r-"))
+        frame_artists.extend(ax.plot([pos[0]], [pos[1]], "go"))
+        frame_artists.extend(
+            ax.plot(
+                [pos[0], pos[0] + direction[0] * 3],
+                [pos[1], pos[1] + direction[1] * 3],
+                "g-",
+            )
+        )
         artists.append(frame_artists)
     ax.set_aspect("equal")
-    anim = ArtistAnimation(fig, artists, interval=100)
+    anim = ArtistAnimation(fig, artists, interval=100, blit=True, repeat_delay=1000)
     anim.save(str(path), fps=10)
     print(f"saved {path}")
 
