@@ -235,26 +235,36 @@ class PathPlanner:
         else:
             out, self._state = self._step(self._state, frame)
 
-        final_path = np.asarray(out.path, np.float64)
         if not return_intermediate_results:
-            return final_path
+            return np.asarray(out.path, np.float64)
+
+        # ONE bulk device->host fetch: per-leaf np.asarray would pay a full
+        # link round trip each (7x per frame on a remote-attached chip)
+        (path, sl, slm, sr, srm, lv, lm, rv, rm, l2r, r2l) = jax.device_get(
+            (
+                out.path,
+                out.sorted_left, out.sorted_left_mask,
+                out.sorted_right, out.sorted_right_mask,
+                out.left_with_virtual, out.left_mask,
+                out.right_with_virtual, out.right_mask,
+                out.left_to_right, out.right_to_left,
+            )
+        )
 
         def unpad(arr, m):
-            n = int(np.sum(np.asarray(m)))
-            return np.asarray(arr, np.float64)[:n]
+            return np.asarray(arr, np.float64)[: int(np.sum(m))]
 
         def unpad_int(arr, m):
-            n = int(np.sum(np.asarray(m)))
-            return np.asarray(arr)[:n].astype(int)
+            return np.asarray(arr)[: int(np.sum(m))].astype(int)
 
         return (
-            final_path,
-            unpad(out.sorted_left, out.sorted_left_mask),
-            unpad(out.sorted_right, out.sorted_right_mask),
-            unpad(out.left_with_virtual, out.left_mask),
-            unpad(out.right_with_virtual, out.right_mask),
-            unpad_int(out.left_to_right, out.left_mask),
-            unpad_int(out.right_to_left, out.right_mask),
+            np.asarray(path, np.float64),
+            unpad(sl, slm),
+            unpad(sr, srm),
+            unpad(lv, lm),
+            unpad(rv, rm),
+            unpad_int(l2r, lm),
+            unpad_int(r2l, rm),
         )
 
     def _step_with_sort_cache(self, frame: FrameInput, pts: np.ndarray, mask: np.ndarray):

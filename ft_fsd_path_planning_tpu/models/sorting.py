@@ -508,13 +508,15 @@ def _beam_search_side(
         return out_configs, alive[0] > 0.5
 
     # ------------------------------------------------------------------
-    # Lane-friendly column layout. TPU tiling pads the LAST axis to 128
+    # Lane-friendly flat layout. TPU tiling pads the LAST axis to 128
     # lanes, so every (K, C=5) or (*, 2) tensor crossing a fusion boundary
     # materializes 25-64x padded in HBM — measured to dominate the whole
-    # step. The loop therefore carries ONE (F, K) feature matrix whose rows
-    # are (K,)-shaped columns, and all candidate math runs on per-neighbor
-    # LISTS of (K,) arrays (python-unrolled over C=5); the pool re-selection
-    # stays a single top_k + one-hot matmul.
+    # step. The loop carries ONE (F, K) feature matrix whose rows are
+    # (K,)-shaped columns, and ALL candidate math runs on flat j-major
+    # (C*K,) arrays (round 4: the round-3 per-neighbor lists of (K,) ops
+    # ran at K/128 = 25% lane occupancy and 5x the op count). The j-major
+    # flat order is exactly the pool's child order, so the pool build is a
+    # single concatenate and score ties break identically.
     # ------------------------------------------------------------------
     w = sorting_cost._WEIGHTS
     sgn = _left_sign(cone_type)
@@ -525,6 +527,7 @@ def _beam_search_side(
     car_ex, car_ey = car_position + dnorm * cfg.car_size
     cp_x, cp_y = car_position[0], car_position[1]
     cd_x, cd_y = car_direction[0], car_direction[1]
+    ck = c * k
 
     def partial_score(length, angle_sum, n_under, residual, init_cost, wrong_sum):
         n_int = jnp.maximum(length - 2.0, 1.0)
@@ -535,6 +538,13 @@ def _beam_search_side(
             + w[3] * init_cost
             + w[6] * jnp.abs(wrong_sum) * (length >= 4.0)
         )
+
+    def _angle_xy(ax, ay, bx, by):
+        # geo.vec_angle_between on components (identical arithmetic)
+        na = jnp.sqrt(jnp.maximum(ax * ax + ay * ay, 0.0))
+        nb = jnp.sqrt(jnp.maximum(bx * bx + by * by, 0.0))
+        cos_t = (ax * bx + ay * by) / jnp.maximum(na * nb, 1e-12)
+        return jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
 
     def step(_, carry):
         feats_t, alive = carry  # (F, K) f32, (K,) bool
@@ -550,118 +560,133 @@ def _beam_search_side(
         first_x, first_y = feats_t[l + 14], feats_t[l + 15]
         p = lengths - 1.0
 
-        # expansion: ONE one-hot contraction, then (K,) column views
+        # expansion: ONE one-hot contraction, then flat j-major (C*K,) views
         row = gl.take_rows(node_table, jnp.round(last_idx).astype(jnp.int32))
-        cand_idx = [row[:, j] for j in range(c)]
-        can0 = [row[:, c + j] > 0.5 for j in range(c)]
-        cx = [row[:, 2 * c + j] for j in range(c)]
-        cy = [row[:, 3 * c + j] for j in range(c)]
 
-        # shared tail geometry
+        def flat_block(off):  # (K, C) slice -> (C*K,) j-major
+            return jnp.transpose(row[:, off * c : (off + 1) * c]).reshape(ck)
+
+        cand_f = flat_block(0)
+        can0_f = flat_block(1) > 0.5
+        cx_f = flat_block(2)
+        cy_f = flat_block(3)
+
+        T = lambda a: jnp.tile(a, c)  # parent column -> (C*K,) j-major
+
+        # shared tail geometry (per parent, tiled once)
         mjx, mjy = last_x - prev_x, last_y - prev_y
         inv = jax.lax.rsqrt(jnp.maximum(mjx * mjx + mjy * mjy, 1e-24))
         umx, umy = mjx * inv, mjy * inv  # ellipse major direction
         ppx, ppy = prev_x - prev2_x, prev_y - prev2_y
         diff2 = jnp.arctan2(ppx * mjy - ppy * mjx, ppx * mjx + ppy * mjy)
-        d_ml = [
-            jnp.sqrt((last_x - cx[m]) ** 2 + (last_y - cy[m]) ** 2) for m in range(c)
-        ]
 
         expandable = alive & ~done & (lengths < target_length)
 
-        can, theta, seg_len, diff = [], [], [], []
-        for j in range(c):
-            relx, rely = cx[j] - last_x, cy[j] - last_y
-            # 1. not already in config
-            in_cfg = configs[0] == cand_idx[j]
-            for jj in range(1, l):
-                in_cfg = in_cfg | (configs[jj] == cand_idx[j])
-            ok = can0[j] & ~in_cfg
-            # 2. ellipse gate (p >= 1)
-            xr = relx * umx + rely * umy
-            yr = umx * rely - umy * relx
-            ell = (xr / cfg.ellipse_major) ** 2 + (yr / cfg.ellipse_minor) ** 2 < 1.0
-            ok = ok & (ell | (p < 1.0))
-            # 3. second cone on correct side (p == 0)
-            ccx, ccy = cx[j] - cp_x, cy[j] - cp_y
-            dsign = jnp.arctan2(cd_x * ccy - cd_y * ccx, cd_x * ccx + cd_y * ccy)
-            side_ok = (jnp.sign(dsign) == sgn) | (jnp.abs(dsign) < jnp.deg2rad(5.0))
-            ok = ok & (side_ok | (p != 0.0))
-            # 4. no cone skipped between last and candidate
-            blocked = jnp.zeros_like(ok)
-            for m in range(c):
-                vmcx, vmcy = cx[j] - cx[m], cy[j] - cy[m]
-                d_mc = jnp.sqrt(vmcx * vmcx + vmcy * vmcy)
-                v_mlx, v_mly = last_x - cx[m], last_y - cy[m]
-                dots = v_mlx * vmcx + v_mly * vmcy
-                blocked = blocked | (
-                    can0[m]
-                    & (cand_idx[j] != cand_idx[m])
-                    & (d_mc < cfg.between_dist)
-                    & (d_ml[m] < cfg.between_dist)
-                    & (dots < cos_between * d_ml[m] * d_mc)
-                )
-            ok = ok & ~blocked
-            # 5. direction-change thresholds (p >= 1)
-            dj = jnp.arctan2(mjx * rely - mjy * relx, mjx * relx + mjy * rely)
-            sl = jnp.sqrt(relx * relx + rely * rely)
-            abs_ok = jnp.abs(dj) <= cfg.threshold_absolute_angle
-            directional = (sgn * dj < cfg.threshold_directional_angle) | (
-                sl < cfg.close_cone_dist
-            )
-            ok = ok & ((abs_ok & directional) | (p < 1.0))
-            # 6. flip-kill (p >= 2)
-            flip = (jnp.sign(dj) != jnp.sign(diff2)) & (jnp.abs(dj - diff2) > 1.3)
-            ok = ok & (~flip | (p < 2.0))
-            # 7. offset from start (p == 1)
-            off_ok = cd_x * (cx[j] - first_x) + cd_y * (cy[j] - first_y) > 0.0
-            ok = ok & (off_ok | (p != 1.0))
-            # 8. no car-body crossing
-            crosses = geo.segments_intersect(
-                jnp.stack([last_x, last_y], -1), jnp.stack([cx[j], cy[j]], -1),
-                jnp.stack([car_sx, car_sy]), jnp.stack([car_ex, car_ey]),
-            )
-            ok = ok & ~crosses & expandable
+        lx, ly = T(last_x), T(last_y)
+        p_f = T(p)
+        umx_f, umy_f = T(umx), T(umy)
+        fx, fy = T(first_x), T(first_y)
 
-            can.append(ok)
-            theta.append(
-                geo.vec_angle_between(
-                    jnp.stack([prev_x - last_x, prev_y - last_y], -1),
-                    jnp.stack([relx, rely], -1),
-                )
-            )
-            seg_len.append(sl)
-            diff.append(dj)
+        relx, rely = cx_f - lx, cy_f - ly
 
-        # children carries + scores, per neighbor column
+        # 1. not already in config
+        in_cfg = T(configs[0]) == cand_f
+        for jj in range(1, l):
+            in_cfg = in_cfg | (T(configs[jj]) == cand_f)
+        ok = can0_f & ~in_cfg
+        # 2. ellipse gate (p >= 1)
+        xr = relx * umx_f + rely * umy_f
+        yr = umx_f * rely - umy_f * relx
+        ell = (xr / cfg.ellipse_major) ** 2 + (yr / cfg.ellipse_minor) ** 2 < 1.0
+        ok = ok & (ell | (p_f < 1.0))
+        # 3. second cone on correct side (p == 0)
+        ccx, ccy = cx_f - cp_x, cy_f - cp_y
+        dsign = jnp.arctan2(cd_x * ccy - cd_y * ccx, cd_x * ccx + cd_y * ccy)
+        side_ok = (jnp.sign(dsign) == sgn) | (jnp.abs(dsign) < jnp.deg2rad(5.0))
+        ok = ok & (side_ok | (p_f != 0.0))
+        # 4. no cone skipped between last and candidate (C passes over the
+        # flat candidates, each against one tiled neighbor column)
+        blocked = jnp.zeros_like(ok)
+        for m in range(c):
+            cxm = T(row[:, 2 * c + m])
+            cym = T(row[:, 3 * c + m])
+            can0m = T(row[:, c + m] > 0.5)
+            candm = T(row[:, m])
+            d_ml_m = jnp.sqrt((lx - cxm) ** 2 + (ly - cym) ** 2)
+            vmcx, vmcy = cx_f - cxm, cy_f - cym
+            d_mc = jnp.sqrt(vmcx * vmcx + vmcy * vmcy)
+            dots = (lx - cxm) * vmcx + (ly - cym) * vmcy
+            blocked = blocked | (
+                can0m
+                & (cand_f != candm)
+                & (d_mc < cfg.between_dist)
+                & (d_ml_m < cfg.between_dist)
+                & (dots < cos_between * d_ml_m * d_mc)
+            )
+        ok = ok & ~blocked
+        # 5. direction-change thresholds (p >= 1)
+        mjx_f, mjy_f = T(mjx), T(mjy)
+        dj = jnp.arctan2(mjx_f * rely - mjy_f * relx, mjx_f * relx + mjy_f * rely)
+        sl = jnp.sqrt(relx * relx + rely * rely)
+        abs_ok = jnp.abs(dj) <= cfg.threshold_absolute_angle
+        directional = (sgn * dj < cfg.threshold_directional_angle) | (
+            sl < cfg.close_cone_dist
+        )
+        ok = ok & ((abs_ok & directional) | (p_f < 1.0))
+        # 6. flip-kill (p >= 2)
+        diff2_f = T(diff2)
+        flip = (jnp.sign(dj) != jnp.sign(diff2_f)) & (jnp.abs(dj - diff2_f) > 1.3)
+        ok = ok & (~flip | (p_f < 2.0))
+        # 7. offset from start (p == 1)
+        off_ok = cd_x * (cx_f - fx) + cd_y * (cy_f - fy) > 0.0
+        ok = ok & (off_ok | (p_f != 1.0))
+        # 8. no car-body crossing (geo.segments_intersect on components)
+        eps = 1e-6
+        bdx, bdy = car_ex - car_sx, car_ey - car_sy
+        d1 = bdx * (ly - car_sy) - bdy * (lx - car_sx)
+        d2 = bdx * (cy_f - car_sy) - bdy * (cx_f - car_sx)
+        d3 = relx * (car_sy - ly) - rely * (car_sx - lx)
+        d4 = relx * (car_ey - ly) - rely * (car_ex - lx)
+        proper = ((d1 > eps) & (d2 < -eps) | (d1 < -eps) & (d2 > eps)) & (
+            (d3 > eps) & (d4 < -eps) | (d3 < -eps) & (d4 > eps)
+        )
+
+        def on_seg(px0, py0, qx, qy, rx, ry):
+            wx = (rx >= jnp.minimum(px0, qx) - eps) & (rx <= jnp.maximum(px0, qx) + eps)
+            wy = (ry >= jnp.minimum(py0, qy) - eps) & (ry <= jnp.maximum(py0, qy) + eps)
+            return wx & wy
+
+        collinear_touch = (
+            (jnp.abs(d1) <= eps) & on_seg(car_sx, car_sy, car_ex, car_ey, lx, ly)
+            | (jnp.abs(d2) <= eps) & on_seg(car_sx, car_sy, car_ex, car_ey, cx_f, cy_f)
+            | (jnp.abs(d3) <= eps) & on_seg(lx, ly, cx_f, cy_f, car_sx, car_sy)
+            | (jnp.abs(d4) <= eps) & on_seg(lx, ly, cx_f, cy_f, car_ex, car_ey)
+        )
+        crosses = proper | collinear_touch
+        ok = ok & ~crosses & T(expandable)
+
+        theta_f = _angle_xy(T(prev_x) - lx, T(prev_y) - ly, relx, rely)
+
+        # children carries + scores, flat
         add_int = p >= 1.0
         c_len = lengths + 1.0
-        n_int_c = jnp.maximum(c_len - 2.0, 1.0)
-        scores_children = []
-        child_carries = []
-        for j in range(c):
-            a_sum = angle_sum + jnp.where(add_int, (jnp.pi - theta[j]) / jnp.pi, 0.0)
-            nu = n_under + jnp.where(add_int & (theta[j] < under_angle), 1.0, 0.0)
-            res = residual + jnp.maximum(0.0, seg_len[j] - 3.0)
-            f_ang = geo.vec_angle_between(
-                jnp.stack([cx[j] - first_x, cy[j] - first_y], -1), car_direction
-            )
-            ini = jnp.where(p == 0.0, f_ang, init_cost)
-            wr = wrong_sum + jnp.where(
-                add_int
-                & (jnp.sign(diff[j]) == sgn)
-                & (jnp.abs(diff[j]) > under_angle),
-                diff[j],
-                0.0,
-            )
-            sc = partial_score(c_len, a_sum, nu, res, ini, wr)
-            scores_children.append(jnp.where(can[j], sc, _INF))
-            child_carries.append((a_sum, nu, res, ini, wr))
+        add_int_f = T(add_int)
+        c_len_f = T(c_len)
+        a_sum_f = T(angle_sum) + jnp.where(add_int_f, (jnp.pi - theta_f) / jnp.pi, 0.0)
+        nu_f = T(n_under) + jnp.where(add_int_f & (theta_f < under_angle), 1.0, 0.0)
+        res_f = T(residual) + jnp.maximum(0.0, sl - 3.0)
+        f_ang = _angle_xy(cx_f - fx, cy_f - fy, cd_x, cd_y)
+        ini_f = jnp.where(p_f == 0.0, f_ang, T(init_cost))
+        wr_f = T(wrong_sum) + jnp.where(
+            add_int_f & (jnp.sign(dj) == sgn) & (jnp.abs(dj) > under_angle),
+            dj,
+            0.0,
+        )
+        sc = partial_score(c_len_f, a_sum_f, nu_f, res_f, ini_f, wr_f)
+        scores_children_f = jnp.where(ok, sc, _INF)
 
         # parents that could not expand become leaves
-        any_can = can[0]
-        for j in range(1, c):
-            any_can = any_can | can[j]
+        any_can = jnp.any(ok.reshape(c, k), axis=0)
         newly_done = expandable & ~any_can
         done2 = done | newly_done
         frozen = alive & (done2 | ~expandable)
@@ -671,42 +696,58 @@ def _beam_search_side(
             _INF,
         )
 
-        # pool: K frozen parents + C neighbor blocks of K children each
-        # (j-major), packed column-wise -> (P, F); re-selected with one
-        # top_k + one one-hot matmul
-        def pool_col(parent_col, child_cols):
-            return jnp.concatenate([parent_col] + child_cols)
+        # pool: K frozen parents + the j-major flat children -> (P, F);
+        # re-selected with one top_k + one one-hot matmul
+        def pool_col(parent_col, child_flat):
+            return jnp.concatenate([parent_col, child_flat])
 
         cols = []
         for jj in range(l):
             cols.append(pool_col(
                 configs[jj],
-                [jnp.where(lengths == float(jj), cand_idx[j], configs[jj])
-                 for j in range(c)],
+                jnp.where(T(lengths) == float(jj), cand_f, T(configs[jj])),
             ))
-        cols.append(pool_col(lengths, [c_len] * c))
-        cols.append(pool_col(done2.astype(jnp.float32),
-                             [jnp.zeros(k)] * c))
-        for fi, name in enumerate(("a_sum", "nu", "res", "ini", "wr")):
-            cols.append(pool_col(
-                (angle_sum, n_under, residual, init_cost, wrong_sum)[fi],
-                [child_carries[j][fi] for j in range(c)],
-            ))
-        cols.append(pool_col(last_idx, cand_idx))
-        cols.append(pool_col(last_x, cx))
-        cols.append(pool_col(last_y, cy))
-        cols.append(pool_col(prev_x, [last_x] * c))
-        cols.append(pool_col(prev_y, [last_y] * c))
-        cols.append(pool_col(prev2_x, [prev_x] * c))
-        cols.append(pool_col(prev2_y, [prev_y] * c))
-        cols.append(pool_col(first_x, [first_x] * c))
-        cols.append(pool_col(first_y, [first_y] * c))
+        cols.append(pool_col(lengths, c_len_f))
+        cols.append(pool_col(done2.astype(jnp.float32), jnp.zeros(ck)))
+        for parent_c, child_c in (
+            (angle_sum, a_sum_f),
+            (n_under, nu_f),
+            (residual, res_f),
+            (init_cost, ini_f),
+            (wrong_sum, wr_f),
+        ):
+            cols.append(pool_col(parent_c, child_c))
+        cols.append(pool_col(last_idx, cand_f))
+        cols.append(pool_col(last_x, cx_f))
+        cols.append(pool_col(last_y, cy_f))
+        cols.append(pool_col(prev_x, lx))
+        cols.append(pool_col(prev_y, ly))
+        cols.append(pool_col(prev2_x, T(prev_x)))
+        cols.append(pool_col(prev2_y, T(prev_y)))
+        cols.append(pool_col(first_x, fx))
+        cols.append(pool_col(first_y, fy))
         pool_feats = jnp.stack(cols, axis=-1)  # (P, F)
 
-        pool_scores = jnp.concatenate([parent_score] + scores_children)
-        neg_best, sel = jax.lax.top_k(-pool_scores, k)
-        sel_valid = jnp.isfinite(neg_best)
-        feats = gl.take_rows(pool_feats, sel)  # (K, F)
+        pool_scores = jnp.concatenate([parent_score, scores_children_f])
+        # rank-based exact top-K (ties broken by pool index, identical to
+        # lax.top_k's stable order): XLA's top_k lowers to a full variadic
+        # sort of the 192-entry pool on this target; the (P, P) compare+sum
+        # runs on the VPU and feeds the same one-hot re-selection matmul the
+        # sort path needed anyway.
+        pool_n = pool_scores.shape[0]
+        iota_p = jnp.arange(pool_n)
+        better = (pool_scores[None, :] < pool_scores[:, None]) | (
+            (pool_scores[None, :] == pool_scores[:, None])
+            & (iota_p[None, :] < iota_p[:, None])
+        )
+        rank = jnp.sum(better, axis=1)  # (P,)
+        onehot_sel = (rank[None, :] == jnp.arange(k)[:, None]).astype(
+            pool_feats.dtype
+        )  # (K, P)
+        feats = jnp.matmul(
+            onehot_sel, pool_feats, precision=jax.lax.Precision.HIGHEST
+        )  # (K, F)
+        sel_valid = jnp.arange(k) < jnp.sum(jnp.isfinite(pool_scores))
 
         new_feats_t = jnp.transpose(feats)  # (F, K)
         invalid = ~sel_valid

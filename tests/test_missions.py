@@ -41,7 +41,13 @@ def test_acceleration_like_mission(mission):
     within 5 mrad, and path deviation within 8 cm (2.9 mrad of yaw over the
     ~25 m window). The pipeline downstream of the relocalizer is
     deterministic and FITPACK-exact (see test_fitpack.py / the skidpad
-    reference-table replay, where parity is millimetric)."""
+    reference-table replay, where parity is millimetric).
+
+    The global-RNG draw also makes the reference's estimate depend on
+    whatever ran before in the process (suite ordering!), so the oracle's
+    RNG is pinned here — the bounds then measure OUR estimate against one
+    fixed member of the reference's output family."""
+    np.random.seed(7)  # pin the reference RANSAC's global-RNG stream
     ref_planner = ref_pkg.PathPlanner(getattr(ref_pkg.MissionTypes, mission))
     our_planner = PathPlanner(getattr(MissionTypes, mission))
 

@@ -33,3 +33,20 @@ def test_scenario(name):
     # penalized smoothing difference; everything else holds the strict bound
     limit = 0.25 if name == "wrong_sort" else 0.08
     assert dev < limit, f"{name}: deviation {dev:.3f} m"
+
+
+def test_interactive_viz_export():
+    """The dependency-free interactive viewer's exporter produces a complete
+    payload for every fixture (the streamlit-demo equivalence surface)."""
+    from ft_fsd_path_planning_tpu.demo.export_viz import build_payload
+    from ft_fsd_path_planning_tpu.demo.scenarios import ALL_SCENARIOS
+
+    payload = build_payload(max_session_frames=2)
+    assert set(payload["scenarios"]) == set(ALL_SCENARIOS)
+    assert len(payload["session"]) == 2
+    for frame in list(payload["scenarios"].values()) + payload["session"]:
+        assert len(frame["path"]) == 40
+        assert len(frame["curv"]) == 40
+        assert {"left", "right", "unknown"} <= set(frame["cones"])
+        for key in ("sorted_left", "sorted_right", "left_v", "right_v"):
+            assert isinstance(frame[key], list)
