@@ -1,113 +1,87 @@
-"""Spline fit parity vs scipy's FITPACK (the reference's spline engine)."""
+"""Spline support ops: chord parameterization + banded SPD solves.
+
+The spline *fitting* engine is tested against genuine FITPACK in
+tests/test_fitpack.py; this file covers the shared plumbing in
+ops/spline.py that both fitpack and the Pallas kernel tier build on.
+"""
 
 import numpy as np
-import pytest
-from scipy.interpolate import splev, splprep
 
 import jax.numpy as jnp
 
 from ft_fsd_path_planning_tpu.ops import spline as sp
 
 
-def fitpack_predict(trace: np.ndarray, smoothing: float, u_eval: np.ndarray) -> np.ndarray:
-    """What the reference does in SplineFitterFactory.fit + predict."""
-    k = int(np.clip(len(trace) - 1, 1, 3))
-    d = np.linalg.norm(np.diff(trace, axis=0), axis=1)
-    u_fit = np.concatenate([[0], np.cumsum(d)])
-    tck, _ = splprep(trace.T, s=smoothing, k=k, u=u_fit)
-    return np.array(splev(u_eval, tck)).T
-
-
-def run_case(trace: np.ndarray, smoothing: float, tol: float) -> float:
-    p = 64 if len(trace) <= 64 else 256
-    pts = np.zeros((p, 2), np.float32)
-    pts[: len(trace)] = trace
-    mask = np.zeros(p, bool)
-    mask[: len(trace)] = True
-
-    fit = sp.fit_spline(jnp.asarray(pts), jnp.asarray(mask), smoothing)
-    assert bool(fit.ok)
-    u_max = float(fit.u_max)
-    u_eval = np.arange(0, u_max, 0.1)
-    ours = np.asarray(sp.eval_spline(fit, jnp.asarray(u_eval, jnp.float32)))
-    ref = fitpack_predict(trace, smoothing, u_eval)
-    err = np.linalg.norm(ours - ref, axis=1)
-    assert err.max() < tol, f"max deviation {err.max():.4f} m > {tol}"
-    return err.max()
-
-
-def test_straight_line():
-    trace = np.stack([np.linspace(0, 20, 15), np.zeros(15)], axis=1)
-    run_case(trace, 0.2, 0.02)
-
-
-def test_gentle_arc():
-    ang = np.linspace(-0.4, 0.4, 18)
-    trace = 25 * np.stack([np.sin(ang), 1 - np.cos(ang)], axis=1)
-    run_case(trace, 0.2, 0.05)
-
-
-def test_corner_90deg():
-    ang = np.linspace(0, np.pi / 2, 14)
-    trace = 10 * np.stack([np.sin(ang), 1 - np.cos(ang)], axis=1)
-    run_case(trace, 0.2, 0.05)
-
-
-def test_hairpin():
-    ang = np.linspace(0, np.pi, 20)
-    trace = 5 * np.stack([np.sin(ang), 1 - np.cos(ang)], axis=1)
-    # extend with straights on both ends
-    pre = np.stack([np.zeros(5), np.linspace(-6, -1, 5)], axis=1)
-    post = trace[-1] + np.stack([np.zeros(5), np.linspace(-1, -6, 5)], axis=1)
-    full = np.concatenate([pre, trace, post])
-    run_case(full, 0.2, 0.10)
-
-
-def test_noisy_centerline_low_smoothing():
-    rng = np.random.default_rng(3)
-    ang = np.linspace(0, 1.2, 25)
-    trace = 15 * np.stack([np.sin(ang), 1 - np.cos(ang)], axis=1)
-    trace += rng.normal(0, 0.02, trace.shape)
-    run_case(trace, 0.01, 0.05)
-
-
-def test_dense_refit_parity():
-    # the refit stage input: an already-dense smooth path at 0.1 m spacing
-    ang = np.linspace(0, 1.0, 220)
-    trace = 22 * np.stack([np.sin(ang), 1 - np.cos(ang)], axis=1)
-    run_case(trace, 0.2, 0.03)
-
-
-def test_two_points_linear():
-    trace = np.array([[0.0, 0.0], [3.0, 4.0]])
-    p = 64
-    pts = np.zeros((p, 2), np.float32)
-    pts[:2] = trace
-    mask = np.zeros(p, bool)
-    mask[:2] = True
-    fit = sp.fit_spline(jnp.asarray(pts), jnp.asarray(mask), 0.2)
-    mid = np.asarray(sp.eval_spline(fit, jnp.asarray([2.5], jnp.float32)))[0]
-    np.testing.assert_allclose(mid, [1.5, 2.0], atol=0.05)
-
-
-def test_duplicate_points_flagged():
-    pts = np.zeros((8, 2), np.float32)
-    pts[:4] = [[0, 0], [1, 0], [1, 0], [2, 0]]
-    mask = np.zeros(8, bool)
-    mask[:4] = True
-    fit = sp.fit_spline(jnp.asarray(pts), jnp.asarray(mask), 0.2)
-    assert not bool(fit.ok)
-
-
-def test_eval_every_grid_matches_reference_grid():
-    trace = np.stack([np.linspace(0, 10, 12), np.zeros(12)], axis=1)
+def test_chord_lengths_matches_reference_parameterization():
+    rng = np.random.default_rng(0)
+    trace = np.cumsum(rng.normal(0.5, 0.2, (20, 2)), axis=0).astype(np.float32)
     pts = np.zeros((32, 2), np.float32)
-    pts[:12] = trace
-    mask = np.zeros(32, bool)
-    mask[:12] = True
-    fit = sp.fit_spline(jnp.asarray(pts), jnp.asarray(mask), 0.2)
-    vals, u, valid = sp.eval_spline_every(fit, 0.1, 128)
-    n_valid = int(np.sum(np.asarray(valid)))
-    ref_grid = np.arange(0, float(fit.u_max), 0.1)
-    assert n_valid == len(ref_grid)
-    np.testing.assert_allclose(np.asarray(u[:n_valid]), ref_grid, atol=1e-4)
+    pts[:20] = trace
+    mask = np.arange(32) < 20
+
+    u, u_max, ok = sp.chord_lengths(jnp.asarray(pts), jnp.asarray(mask))
+    d = np.linalg.norm(np.diff(trace, axis=0), axis=1)
+    ref_u = np.concatenate([[0.0], np.cumsum(d)])
+    np.testing.assert_allclose(np.asarray(u)[:20], ref_u, rtol=1e-5, atol=1e-5)
+    assert abs(float(u_max) - ref_u[-1]) < 1e-4
+    assert bool(ok)
+    # padded slots repeat u_max
+    assert np.all(np.asarray(u)[20:] == np.asarray(u)[19])
+
+
+def test_chord_lengths_flags_duplicates_and_degenerates():
+    pts = np.asarray(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 0.0], [2.0, 0.0]], np.float32
+    )
+    buf = np.zeros((8, 2), np.float32)
+    buf[:4] = pts
+    mask = np.arange(8) < 4
+    _, _, ok = sp.chord_lengths(jnp.asarray(buf), jnp.asarray(mask))
+    assert not bool(ok)  # consecutive duplicate -> splprep ValueError case
+
+    _, _, ok1 = sp.chord_lengths(jnp.asarray(buf), jnp.asarray(np.arange(8) < 1))
+    assert not bool(ok1)  # single point
+
+
+def test_solve_spd_banded_matches_dense():
+    rng = np.random.default_rng(1)
+    c = 28
+    for trial in range(3):
+        # random SPD matrix with half-bandwidth 4
+        band = rng.normal(0, 1, (c, c))
+        band[np.abs(np.subtract.outer(np.arange(c), np.arange(c))) > 4] = 0.0
+        a = band @ band.T + 0.5 * np.eye(c)
+        a[np.abs(np.subtract.outer(np.arange(c), np.arange(c))) > 4] = 0.0
+        # re-symmetrize after the bandwidth clip, keep SPD via diagonal boost
+        a = (a + a.T) / 2 + np.eye(c) * np.abs(a).sum(1).max()
+        b = rng.normal(0, 1, (c, 2))
+
+        x = np.asarray(
+            sp._solve_spd_banded(
+                jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+            )
+        )
+        ref = np.linalg.solve(a, b)
+        np.testing.assert_allclose(x, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_solve_spd_banded_batched():
+    rng = np.random.default_rng(2)
+    c, g = 12, 5
+    a = np.zeros((g, c, c))
+    for i in range(g):
+        m = rng.normal(0, 1, (c, c))
+        m[np.abs(np.subtract.outer(np.arange(c), np.arange(c))) > 3] = 0.0
+        a[i] = m @ m.T + np.eye(c) * 3.0
+        a[i][np.abs(np.subtract.outer(np.arange(c), np.arange(c))) > 4] = 0.0
+        a[i] = (a[i] + a[i].T) / 2 + np.eye(c) * np.abs(a[i]).sum(1).max()
+    b = rng.normal(0, 1, (g, c, 2))
+    import jax
+
+    x = np.asarray(
+        jax.vmap(sp._solve_spd_banded)(
+            jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+        )
+    )
+    for i in range(g):
+        np.testing.assert_allclose(x[i], np.linalg.solve(a[i], b[i]), rtol=2e-3, atol=2e-3)

@@ -27,7 +27,7 @@ ref_pkg = load_reference()
 from ft_fsd_path_planning_tpu import MissionTypes, PathPlanner  # noqa: E402
 from ft_fsd_path_planning_tpu.config import default_config  # noqa: E402
 from ft_fsd_path_planning_tpu.models import pathing as P  # noqa: E402
-from ft_fsd_path_planning_tpu.ops import spline as sp  # noqa: E402
+from ft_fsd_path_planning_tpu.ops import fitpack as fpk  # noqa: E402
 
 FRAME = 60
 data = json.loads(open("/root/reference/fsd_path_planning/demo/skidpad.json").read())
@@ -135,8 +135,8 @@ def our_chain(pts, n_valid, position, direction):
     p1, n1 = P._connect_path_to_car(p0, n0, position, direction)
     p2, n2_ = P._extend_path(p1, n1, position, direction, cfg.path.mpc_path_length)
     p3, n3 = P._remove_path_behind_car(p2, n2_, position)
-    refit = sp.fit_spline(p3, jnp.arange(d) < n3, cfg.path.smoothing)
-    p4, _, v4 = sp.eval_spline_every(
+    refit = fpk.fitpack_fit(p3, jnp.arange(d) < n3, cfg.path.smoothing)
+    p4, _, v4 = fpk.fitpack_eval_every(
         refit, cfg.path.predict_every, d, max_u=cfg.path.mpc_path_length * 1.5
     )
     n4 = jnp.sum(v4)
