@@ -41,10 +41,7 @@ on a zero-interior-knot vector.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
