@@ -115,3 +115,36 @@ def test_colorless_full_pipeline():
         our_out = our_planner.calculate_path_in_global_frame(colorless, pos, direction)
         dev = path_parity_deviation(ref_out, our_out)
         assert dev < 0.08, f"deviation {dev:.3f} m"
+
+
+def test_global_path_set_then_unset():
+    """set_global_path flips the static specialization bit and retraces;
+    clearing it must return to the plain sorting pipeline on the SAME
+    planner (state shapes survive the config switch)."""
+    from tests.test_pipeline_parity import corridor_frames
+
+    ang = np.linspace(0, 2 * np.pi, 700, endpoint=False)
+    gp = 30.0 * np.stack([np.sin(ang), 1 - np.cos(ang)], axis=1)
+
+    ref_planner = ref_pkg.PathPlanner(ref_pkg.MissionTypes.trackdrive)
+    our_planner = PathPlanner(MissionTypes.trackdrive)
+    frames = corridor_frames(n_frames=4, curv=0.0)
+
+    ref_planner.set_global_path(gp.copy())
+    our_planner.set_global_path(gp)
+    cones, pos, direction = frames[0]
+    ref_out = ref_planner.calculate_path_in_global_frame(
+        [c.copy() for c in cones], pos.copy(), direction.copy()
+    )
+    our_out = our_planner.calculate_path_in_global_frame(cones, pos, direction)
+    assert path_parity_deviation(ref_out, our_out) < 0.1
+
+    ref_planner.set_global_path(None)
+    our_planner.set_global_path(None)
+    for cones, pos, direction in frames[1:]:
+        ref_out = ref_planner.calculate_path_in_global_frame(
+            [c.copy() for c in cones], pos.copy(), direction.copy()
+        )
+        our_out = our_planner.calculate_path_in_global_frame(cones, pos, direction)
+        dev = path_parity_deviation(ref_out, our_out)
+        assert dev < 0.05, f"deviation {dev:.3f} after unset"
