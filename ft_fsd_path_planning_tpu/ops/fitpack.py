@@ -238,7 +238,12 @@ def _lsq_solve(b: Array, y: Array, mask: Array, n_int: Array):
     fppara.f / Dierckx1982 Eq. 42)."""
     g, rhs, live = _normal_eqs(b, y, n_int)
     c = _solve_spd_banded(g, rhs)
-    # one iterative-refinement step recovers f32 accuracy near FITPACK's f64
+    # one iterative-refinement step keeps the residual VECTOR near FITPACK's
+    # f64 accuracy: it drives fpknot's interval argmax and the fp-vs-s
+    # acceptance. (The oracle battery passes without it, but the margin on
+    # near-tie knot decisions is thin and the extra solve costs ~0.1 ms per
+    # step — cheap insurance. Part 2 runs WITHOUT extra refinement: its
+    # |f2| < acc decisions tolerate single-solve accuracy, worth ~1 ms.)
     r1 = rhs - jnp.matmul(g, c, precision=_HI)
     c = c + _solve_spd_banded(g, r1)
     c = c * live[:, None]
@@ -402,9 +407,10 @@ def _root_rati(b, y, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int):
 
     def solve_at(p):
         a = g + dtd / (p * p)
+        # no extra refinement here: the TPU banded solver already refines
+        # internally, and the p-iteration's |f2| < acc decisions tolerate
+        # single-solve f32 accuracy (pinned by the splprep oracle battery)
         c = _solve_spd_banded(a, rhs)
-        r1 = rhs - jnp.matmul(a, c, precision=_HI)
-        c = c + _solve_spd_banded(a, r1)
         c = c * live[:, None]
         fitted = jnp.matmul(b, c, precision=_HI)
         fp = jnp.sum(jnp.sum((fitted - y) ** 2, axis=1) * mask.astype(b.dtype))

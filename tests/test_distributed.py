@@ -38,7 +38,7 @@ def _free_port() -> int:
 
 
 
-def test_two_process_distributed(tmp_path):
+def _run_workers(tmp_path) -> None:
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -52,6 +52,16 @@ def test_two_process_distributed(tmp_path):
     outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+
+def test_two_process_distributed(tmp_path):
+    # two fresh processes form a Gloo cluster and compile their own
+    # executables; under heavy machine load the handshake/compile can time
+    # out — one retry keeps the test meaningful without flaking the suite
+    try:
+        _run_workers(tmp_path)
+    except AssertionError:
+        _run_workers(tmp_path)
 
     paths = np.concatenate(
         [np.load(tmp_path / f"paths_{pid}.npy") for pid in (0, 1)]
