@@ -168,8 +168,6 @@ def default_config(
     SLAM-map workloads (an FSG autocross map flattens to hundreds of cones,
     reference core_trace_sorter.py:37-54).
     """
-    if n_cones is not None and "shapes" not in overrides:
-        overrides["shapes"] = ShapeBudget(n_cones=n_cones)
     if mission in (
         MissionTypes.acceleration,
         MissionTypes.ebs_test,
@@ -188,7 +186,12 @@ def default_config(
         # rolled order) and plan along the wrong leg, and a 512-sample dense
         # budget (51.2 m at 0.1 m) would cut the evaluated hairpin before
         # the forward leg that remove_path_behind_car later keeps.
+        # Built BEFORE folding n_cones in so the mission sizing survives a
+        # user-supplied cone budget (round-4 advisor finding).
         overrides["shapes"] = ShapeBudget(global_window=704, dense_samples=1024)
+    if n_cones is not None:
+        base = overrides.get("shapes", ShapeBudget())
+        overrides["shapes"] = dataclasses.replace(base, n_cones=n_cones)
     return PlannerConfig(
         mission=mission,
         experimental_performance_improvements=experimental_performance_improvements,
