@@ -177,14 +177,20 @@ def _replay_bench(cfg) -> dict[str, float]:
     """Recorded-session replay: a stateful `lax.scan` over the committed
     closed-track session (the real workload shape — state carried frame to
     frame, not i.i.d. batches), loaded through the native C++ loader.
-    Reports throughput and p95/max deviation from the session's ground-truth
-    centerline (re-derived from the generator seed)."""
+    Reports throughput, p95/max PARITY deviation vs the reference planner's
+    committed golden paths over the same session
+    (demo/trackdrive_golden.npz, tools/make_trackdrive_golden.py), and the
+    p95/max deviation from the session's ground-truth centerline."""
     import jax.numpy as jnp
 
     from ft_fsd_path_planning_tpu.demo.make_session import SESSION_PATH, ground_truth
     from ft_fsd_path_planning_tpu.models.planner import FrameInput, make_initial_state
     from ft_fsd_path_planning_tpu.native.loader import load_session
-    from ft_fsd_path_planning_tpu.parallel.batch import path_deviation, replay_scan
+    from ft_fsd_path_planning_tpu.parallel.batch import (
+        path_deviation,
+        path_parity_deviation_paths,
+        replay_scan,
+    )
 
     if not SESSION_PATH.exists():
         return {}
@@ -212,6 +218,24 @@ def _replay_bench(cfg) -> dict[str, float]:
     elapsed = time.perf_counter() - t0
     solves_per_s = t_frames * iters / elapsed
 
+    out = {"replay_solves_per_s": round(solves_per_s, 1)}
+
+    # primary correctness metric: parity vs the reference planner's own
+    # stateful replay of this exact session (committed golden paths)
+    golden_path = SESSION_PATH.parent / "trackdrive_golden.npz"
+    if golden_path.exists():
+        golden = np.load(golden_path)["paths_plain"]
+        if len(golden) == t_frames:
+            parity = np.asarray(
+                jax.jit(path_parity_deviation_paths)(
+                    paths, jnp.asarray(golden, jnp.float32)
+                )
+            )
+            out["replay_parity_dev_p95_m"] = round(float(np.percentile(parity, 95)), 4)
+            out["replay_parity_dev_max_m"] = round(float(parity.max()), 4)
+
+    # secondary: distance from the track centerline (how good the MPC path
+    # is in absolute terms — the reference's own output also deviates)
     _, _, _, cl, _ = ground_truth()
     cl = np.concatenate([cl, cl[:1]])  # close the loop: path_deviation
     # measures against an OPEN polyline; frames at the lap seam would
@@ -221,11 +245,9 @@ def _replay_bench(cfg) -> dict[str, float]:
     )
     dev = np.asarray(jax.jit(path_deviation)(paths, ref_xy))
     dev = dev[10:]  # skip the cold-start frames (initial straight path)
-    return {
-        "replay_solves_per_s": round(solves_per_s, 1),
-        "replay_centerline_dev_p95_m": round(float(np.percentile(dev, 95)), 4),
-        "replay_centerline_dev_max_m": round(float(dev.max()), 4),
-    }
+    out["replay_centerline_dev_p95_m"] = round(float(np.percentile(dev, 95)), 4)
+    out["replay_centerline_dev_max_m"] = round(float(dev.max()), 4)
+    return out
 
 
 def main() -> None:

@@ -76,14 +76,9 @@ class BatchMetrics(NamedTuple):
     relocalized_rate: Array
 
 
-def path_deviation(paths: Array, ref_xy: Array) -> Array:
-    """Per-frame max lateral deviation of (B, H, 4) paths vs (B, R, 2)
-    reference polylines (point-to-segment, on device).
-
-    The parity / regression metric of BASELINE.md (<5 cm vs reference) as a
-    batched program: no host round-trip, psum-able.
-    """
-    a = paths[:, :, 1:3]  # (B, H, 2)
+def _point_to_polyline_dist(a: Array, ref_xy: Array) -> Array:
+    """(B, H, 2) query points vs (B, R, 2) polylines -> (B, H) distances
+    (point-to-segment, on device)."""
     p0 = ref_xy[:, :-1, :]  # (B, R-1, 2)
     seg = ref_xy[:, 1:, :] - p0
     seg_len2 = jnp.maximum(jnp.sum(seg * seg, axis=-1), 1e-12)  # (B, R-1)
@@ -93,7 +88,31 @@ def path_deviation(paths: Array, ref_xy: Array) -> Array:
     )
     foot = p0[:, None, :, :] + t[..., None] * seg[:, None, :, :]
     d2 = jnp.sum((a[:, :, None, :] - foot) ** 2, axis=-1)  # (B, H, R-1)
-    return jnp.sqrt(jnp.min(d2, axis=-1)).max(axis=-1)  # (B,)
+    return jnp.sqrt(jnp.min(d2, axis=-1))  # (B, H)
+
+
+def path_deviation(paths: Array, ref_xy: Array) -> Array:
+    """Per-frame max lateral deviation of (B, H, 4) paths vs (B, R, 2)
+    reference polylines.
+
+    The parity / regression metric of BASELINE.md (<5 cm vs reference) as a
+    batched program: no host round-trip, psum-able.
+    """
+    return _point_to_polyline_dist(paths[:, :, 1:3], ref_xy).max(axis=-1)  # (B,)
+
+
+def path_parity_deviation_paths(a_paths: Array, b_paths: Array) -> Array:
+    """Symmetric per-frame parity deviation between two (B, H, 4) path
+    stacks over their common arc span — the on-device analog of the test
+    suite's ``path_parity_deviation`` (the 20 m trim boundary can flip the
+    final sample between float32/float64 runs; query points past the common
+    theta span are excluded, target curves kept whole)."""
+    d_ab = _point_to_polyline_dist(a_paths[:, :, 1:3], b_paths[:, :, 1:3])
+    d_ba = _point_to_polyline_dist(b_paths[:, :, 1:3], a_paths[:, :, 1:3])
+    span = jnp.minimum(a_paths[:, -1, 0], b_paths[:, -1, 0]) + 1e-6
+    d_ab = jnp.where(a_paths[:, :, 0] <= span[:, None], d_ab, 0.0)
+    d_ba = jnp.where(b_paths[:, :, 0] <= span[:, None], d_ba, 0.0)
+    return jnp.maximum(d_ab.max(axis=-1), d_ba.max(axis=-1))  # (B,)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
