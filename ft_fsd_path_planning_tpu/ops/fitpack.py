@@ -399,9 +399,15 @@ def _fprati(p1, f1, p2, f2, p3, f3, p3_inf):
     return jnp.where(p3_inf, p_inf, p_fin)
 
 
-def _root_rati(b, y, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int):
+def _root_rati(b, y, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int, skip):
     """FITPACK's p-iteration (masked scan; mirrors scipy's tested
-    reproduction of fpcurf.f:229-330 / fppara.f root_rati)."""
+    reproduction of fpcurf.f:229-330 / fppara.f root_rati).
+
+    ``skip`` lanes (no interior knots, or LSQ already within acc of s — the
+    cases where the caller discards this result and returns the LSQ spline)
+    start converged so the batched while never runs a discarded iteration:
+    on smooth real-workload traces every lane skips and the loop costs one
+    condition check instead of MAXIT full solves."""
     live = jnp.arange(NC) < n_int + K + 1
     eye = jnp.eye(NC, dtype=b.dtype)
 
@@ -483,7 +489,7 @@ def _root_rati(b, y, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int):
         zi,
         zi,
         c_lsq,
-        zb,
+        zb | skip,
         zb,
         zi,
     )
@@ -552,17 +558,44 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
 
     t_int0 = jnp.full((MAX_INT,), _BIG, dtype)
     n_int0 = jnp.asarray(0, jnp.int32)
+    zf, zi, zb = _varying_zeros(u)
+
+    # ---- part-1 iteration 0, hoisted out of the growth loop: the LSQ
+    # polynomial on the empty knot set. On smooth real-workload traces this
+    # already satisfies fp <= s (the session replay accepts here on every
+    # frame for all three pipeline fits) and the loop below never runs. The
+    # accepted (c, fp) ride the loop carry, so the former post-loop re-solve
+    # of the frozen knot set is gone — the carry always holds the solution
+    # OF the carried knots, including budget/OUTER fall-through exits
+    # (FITPACK's n == nest path, fpcurf.f:165).
+    t_i0 = t_int0 + zf
+    n_i0 = n_int0 + zi
+    t_full0 = _full_knots(t_i0, n_i0, u_max)
+    b0 = _design(u, mask, t_full0, n_i0)
+    c0, fp0, resid0 = _lsq_solve(b0, points, mask, n_i0)
+    done0 = (jnp.abs(fp0 - s) < acc) | (fp0 - s < 0)
+    fpint0, nrdata0, _, _ = _interval_stats(
+        u, mask, resid0, t_i0, n_i0, endpoint_mask
+    )
+    # first insertion round: nplus = 1 when n_int == 0 (fpcurf.f:158)
+    t_ins, n_ins, _, _ = _insert_knot(
+        u, mask, t_i0, n_i0, fpint0, nrdata0, endpoint_mask
+    )
+    t_1 = jnp.where(done0, t_i0, t_ins)
+    n_1 = jnp.where(done0, n_i0, n_ins)
 
     def part1_body(carry):
-        (t_int, n_int, fp_prev, nplus_prev, done, fp0, it) = carry
+        (t_int, n_int, c_prev, fp_prev, nplus_prev, done, it) = carry
+        # knots for this round were inserted by the previous trip (or the
+        # hoisted round 0); solve on them
         t_full = _full_knots(t_int, n_int, u_max)
         b = _design(u, mask, t_full, n_int)
         c, fp, resid = _lsq_solve(b, points, mask, n_int)
-
-        fp0 = jnp.where(it == 0, fp, fp0)
         fpms = fp - s
         newly = (jnp.abs(fpms) < acc) | (fpms < 0)
-        done_now = done | newly
+        # budget exhausted (knot cap reached / OUTER trips used): this solve
+        # IS the fall-through solve on the final set — accept and exit
+        done_now = newly | (n_int >= MAX_INT) | (it >= OUTER)
 
         # FITPACK nplus update (fpcurf.f:150-160)
         delta = fp_prev - fp
@@ -601,36 +634,20 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
 
         t_out = jnp.where(done_now, t_int, t_int2)
         n_out = jnp.where(done_now, n_int, n_int2)
-        # budget exhausted without acceptance: accept the current set (the
-        # FITPACK `n == nest` path, fpcurf.f:165) — handled after the loop
-        return (t_out, n_out, fp, nplus, done_now, fp0, it + 1)
+        return (t_out, n_out, c, fp, nplus, done_now, it + 1)
 
     def part1_cond(carry):
-        (t_int, n_int, _, _, done, _, it) = carry
-        # done elements freeze; budget-full-but-not-done elements also make
-        # no further progress (insertions are masked) — exclude both so the
-        # batched while doesn't spin
-        return (it < OUTER) & ~done & (n_int < MAX_INT)
+        done, it = carry[5], carry[6]
+        return ~done & (it <= OUTER)
 
-    zf, zi, zb = _varying_zeros(u)
-    init = (
-        t_int0 + zf,
-        n_int0 + zi,
-        zf,
-        zi,
-        zb,
-        zf,
-        zi,
-    )
+    init = (t_1, n_1, c0, fp0, jnp.asarray(1, jnp.int32) + zi, done0, 1 + zi)
     carry = jax.lax.while_loop(part1_cond, part1_body, init)
-    (t_int, n_int, fp_last, _, done, fp0, _) = carry
+    (t_int, n_int, c_lsq, fp_lsq, _, _, _) = carry
 
-    # the knot set froze at acceptance, so one post-scan solve reproduces the
-    # accepted LSQ exactly (or, if the scan ran out / hit the budget, runs
-    # the fall-through solve on the final set — FITPACK's n == nest path)
+    # part 2 needs the design/normal equations of the final knot set (the
+    # accepted LSQ solution itself is carried out of the loop)
     t_full = _full_knots(t_int, n_int, u_max)
     b = _design(u, mask, t_full, n_int)
-    c_lsq, fp_lsq, _ = _lsq_solve(b, points, mask, n_int)
     g_chol, _, live_c = _normal_eqs(b, points, n_int)
     diag_sum = _band_chol_diag_sum(g_chol, live_c)
 
@@ -650,7 +667,7 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
     dtd = jnp.matmul(d.T, d, precision=_HI)
 
     c_p2 = _root_rati(
-        b, points, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int
+        b, points, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int, skip_p2
     )
     coef = jnp.where(skip_p2, c_lsq, c_p2)
 
