@@ -502,6 +502,35 @@ def _root_rati(b, y, mask, g, rhs, dtd, s, acc, p0, f1_0, f3_0, c_lsq, n_int, sk
 # ---------------------------------------------------------------------------
 
 
+def _solve_spd4(g: Array, rhs: Array) -> Array:
+    """Unrolled 4x4 SPD Cholesky solve. ``jnp.linalg.solve`` lowers to an LU
+    block custom call that runs on the scalar core (~0.26 ms/step at batch
+    256 for this tiny system); the unrolled form fuses into the surrounding
+    vector code."""
+    eps = 1e-30
+    l11 = jnp.sqrt(jnp.maximum(g[0, 0], eps))
+    l21 = g[1, 0] / l11
+    l31 = g[2, 0] / l11
+    l41 = g[3, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(g[1, 1] - l21 * l21, eps))
+    l32 = (g[2, 1] - l31 * l21) / l22
+    l42 = (g[3, 1] - l41 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(g[2, 2] - l31 * l31 - l32 * l32, eps))
+    l43 = (g[3, 2] - l41 * l31 - l42 * l32) / l33
+    l44 = jnp.sqrt(jnp.maximum(g[3, 3] - l41 * l41 - l42 * l42 - l43 * l43, eps))
+    # forward substitution L z = rhs
+    z0 = rhs[0] / l11
+    z1 = (rhs[1] - l21 * z0) / l22
+    z2 = (rhs[2] - l31 * z0 - l32 * z1) / l33
+    z3 = (rhs[3] - l41 * z0 - l42 * z1 - l43 * z2) / l44
+    # back substitution L^T x = z
+    x3 = z3 / l44
+    x2 = (z2 - l43 * x3) / l33
+    x1 = (z1 - l32 * x2 - l42 * x3) / l22
+    x0 = (z0 - l21 * x1 - l31 * x2 - l41 * x3) / l11
+    return jnp.stack([x0, x1, x2, x3])
+
+
 def _tiny_fit(u: Array, points: Array, mask: Array, u_max: Array) -> Array:
     """Interpolating polynomial of degree n_valid-1 (<= 3) as Bezier control
     points on [0, u_max] in the NC-padded coefficient array."""
@@ -515,7 +544,7 @@ def _tiny_fit(u: Array, points: Array, mask: Array, u_max: Array) -> Array:
     g = jnp.matmul(powers.T, powers, precision=_HI)
     g = g + (1e-7 * jnp.trace(g) / 4.0 + 1e-12) * jnp.eye(4, dtype=points.dtype)
     rhs = jnp.matmul(powers.T, points * w[:, None], precision=_HI)
-    a = jnp.linalg.solve(g, rhs)  # monomial coefs (4, 2) on t in [0,1]
+    a = _solve_spd4(g, rhs)  # monomial coefs (4, 2) on t in [0,1]
 
     # monomial -> Bezier (cubic): b = M a with the standard change of basis
     m_inv = jnp.asarray(
