@@ -128,11 +128,16 @@ def _basis4(x: Array, t_full: Array, n_int: Array) -> tuple[Array, Array]:
         (j[None, :] < n_int) & (x[:, None] >= t_int[None, :]), axis=1
     ).astype(jnp.int32)
 
-    # knots t[span-2 .. span+3] via one-hot contraction (6 per site)
+    # knots t[span-2 .. span+3]: fused select-accumulation over the NEST
+    # knot slots — exactly one term is nonzero per site, so the result is
+    # t_full[idx] bit-exactly. (The former (M, 6, NEST) one-hot einsum
+    # materialized ~100 MB/step at batch 256; this form reads/writes (M, 6)
+    # once — the FITPACK loops are HBM-bound, see PROFILE.md.)
     offs = jnp.arange(-K + 1, K + 1)  # (-2..3)
     idx = span[:, None] + offs[None, :]  # (M, 6)
-    onehot = (idx[:, :, None] == jnp.arange(NEST)[None, None, :]).astype(x.dtype)
-    twin = jnp.einsum("mon,n->mo", onehot, t_full, precision=_HI)  # (M, 6)
+    twin = jnp.zeros(idx.shape, x.dtype)
+    for nn in range(NEST):
+        twin = twin + jnp.where(idx == nn, t_full[nn], 0.0)
     # twin[:, r] = t[span - 2 + r]
 
     # de Boor basis_funs (The NURBS Book A2.2), degree 3
@@ -154,12 +159,26 @@ def _basis4(x: Array, t_full: Array, n_int: Array) -> tuple[Array, Array]:
     return jnp.stack(vals, axis=-1), span  # (M, 4), (M,)
 
 
+def _scatter_basis(vals: Array, span: Array) -> Array:
+    """Place the 4 nonzero basis values into their (M, NC) columns: column
+    span-K+r receives vals[:, r]. Fused select-accumulation — at most one of
+    the 4 candidates lands in each column, so the sum is exact (the former
+    (M, 4, NC) one-hot einsum materialized ~60 MB/step at batch 256)."""
+    base = span - K  # (M,) first live column per row
+    cols = []
+    for c0 in range(NC):
+        r = c0 - base  # which basis slot lands in column c0
+        contrib = jnp.zeros(span.shape, vals.dtype)
+        for r0 in range(K + 1):
+            contrib = contrib + jnp.where(r == r0, vals[:, r0], 0.0)
+        cols.append(contrib)
+    return jnp.stack(cols, axis=1)  # (M, NC)
+
+
 def _design(x: Array, mask: Array, t_full: Array, n_int: Array) -> Array:
     """(M, NC) masked design matrix (zero rows for padded sites)."""
     vals, span = _basis4(x, t_full, n_int)
-    cols = span[:, None] - K + jnp.arange(K + 1)[None, :]  # (M, 4)
-    onehot = (cols[:, :, None] == jnp.arange(NC)[None, None, :]).astype(x.dtype)
-    b = jnp.einsum("mr,mrc->mc", vals, onehot, precision=_HI)
+    b = _scatter_basis(vals, span)
     return b * mask[:, None].astype(x.dtype)
 
 
@@ -720,6 +739,8 @@ def fitpack_eval(fit: FpSpline, u: Array) -> Array:
     t_full = _full_knots(fit.t_int, fit.n_int, fit.u_max)
     # tiny fits are Bezier on [0, u_max]: same machinery, n_int = 0
     vals, span = _basis4(uf, t_full, fit.n_int)
+    # one-hot einsum, NOT _scatter_basis: outside the fit loops the einsum
+    # form feeds the coef matmul on the MXU and measures ~3x faster here
     cols = span[:, None] - K + jnp.arange(K + 1)[None, :]
     onehot = (cols[:, :, None] == jnp.arange(NC)[None, None, :]).astype(u.dtype)
     bsel = jnp.einsum("mr,mrc->mc", vals, onehot, precision=_HI)

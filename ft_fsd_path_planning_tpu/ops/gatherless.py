@@ -65,11 +65,43 @@ def shift_right(arr: Array, k: Array, fill: float = 0.0) -> Array:
 def window(arr: Array, start: Array, size: int, fill: float = 0.0) -> Array:
     """Rows [start, start + size) of arr, fill outside [0, n).
 
-    start: traced scalar in [-size, n]. Contiguous dynamic_slice, no gather.
+    start: traced scalar in [-size, n]. Unbatched this is a contiguous
+    dynamic_slice; under vmap a per-lane dynamic_slice lowers to a
+    scalar-core loop over lanes (~0.4 ms/step for one size-20 window at
+    batch 256 — profiled), so the batched rule switches to a one-hot
+    contraction unless the table is so large that the one-hot operand would
+    out-weigh the lane loop.
     """
-    pad = jnp.full((size,) + arr.shape[1:], fill, arr.dtype)
-    buf = jnp.concatenate([pad, arr, pad], axis=0)
-    return jax.lax.dynamic_slice_in_dim(buf, start + size, size, axis=0)
+
+    def _impl(a: Array, s: Array) -> Array:
+        pad = jnp.full((size,) + a.shape[1:], fill, a.dtype)
+        buf = jnp.concatenate([pad, a, pad], axis=0)
+        return jax.lax.dynamic_slice_in_dim(buf, s + size, size, axis=0)
+
+    _window = jax.custom_batching.custom_vmap(_impl)
+
+    @_window.def_vmap
+    def _window_vmap(axis_size, in_batched, a, s):
+        a_b, s_b = in_batched
+        if not a_b:
+            a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+        if not s_b:
+            s = jnp.broadcast_to(s, (axis_size,))
+        n = a.shape[1]
+        if n * size > 1 << 20:  # huge tables: keep the per-lane slice loop
+            return jax.lax.map(lambda args: _impl(*args), (a, s)), True
+        idx = s[:, None] + jnp.arange(size)  # (B, size)
+        oh = (idx[:, :, None] == jnp.arange(n)).astype(a.dtype)
+        flat = a.reshape(axis_size, n, -1)
+        out = jnp.einsum("bwn,bnf->bwf", oh, flat, precision=_HI)
+        out = out.reshape((axis_size, size) + a.shape[2:])
+        if fill != 0.0:
+            in_range = (idx >= 0) & (idx < n)
+            shape = (axis_size, size) + (1,) * (a.ndim - 2)
+            out = jnp.where(in_range.reshape(shape), out, fill)
+        return out, True
+
+    return _window(arr, start)
 
 
 def circular_roll(arr: Array, s: Array) -> Array:
