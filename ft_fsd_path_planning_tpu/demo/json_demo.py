@@ -68,6 +68,20 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    # persistent compilation cache: the planner-step compile (~20-30 s) and
+    # the relocalizers' one-off f64 refinement compile (~1-2 s) become
+    # machine-local one-offs, mirroring the reference's numba .nbc cache
+    # (reference json_demo.py:245-252)
+    import jax
+
+    cache_dir = Path(__file__).resolve().parents[2] / ".jax_cache"
+    try:
+        cache_dir.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except OSError:
+        pass  # read-only install: run without the cache
+
     mission = (
         MissionTypes[args.mission]
         if args.mission

@@ -158,11 +158,15 @@ def _circle_fit_np(pts: np.ndarray) -> np.ndarray:
 @functools.cache
 def _reference_centers() -> np.ndarray:
     """Circle centers of the known path's two lobes
-    (skidpad_relocalizer.py:172-183): [right (y<-2), left (y>2)]."""
+    (skidpad_relocalizer.py:172-183): [right (y<-2), left (y>2)].
+
+    Kept at float64: the facade's post-relocalization refinement rerun (see
+    PathPlanner._refine_reloc_f64) needs reference-grade precision; the
+    device path casts to its own dtype at the use site."""
     path = BASE_SKIDPAD_PATH
     neg = path[path[:, 1] < -2]
     pos = path[path[:, 1] > 2]
-    return np.stack([_circle_fit_np(neg), _circle_fit_np(pos)]).astype(np.float32)
+    return np.stack([_circle_fit_np(neg), _circle_fit_np(pos)]).astype(np.float64)
 
 
 def skidpad_relocalize_once(
@@ -282,8 +286,8 @@ def skidpad_relocalize_once(
     sides_ok = (f1[1] < 0.0) != (f2[1] < 0.0)
 
     ref_centers = _reference_centers()
-    ref_right = jnp.asarray(ref_centers[0])
-    ref_left = jnp.asarray(ref_centers[1])
+    ref_right = jnp.asarray(ref_centers[0], cones_xy.dtype)
+    ref_left = jnp.asarray(ref_centers[1], cones_xy.dtype)
 
     translation = ref_right - right_calc
     ref_angle = geo.angle_from_2d_vector(ref_left - ref_right)
@@ -320,9 +324,24 @@ def acceleration_relocalize_once(
     order, valid = geo.stable_compact(row)
     pts = gl.take_rows(local, order)  # compacted row cones
 
-    # static pseudo-random 3-subsets over the live prefix
+    # static pseudo-random DISTINCT 3-subsets over the live prefix, by the
+    # order-statistics construction (draw from n, n-1, n-2 and shift past
+    # the earlier picks). The reference samples without replacement
+    # (np.random.choice(n, 3, replace=False), acceleration_relocalization.py:33);
+    # with replacement a duplicated point makes any 2-point line exact
+    # (SSE ~ 0), so the argmin would always select a degenerate trio and
+    # the slope estimate would be a line through 2 random cones.
     u = jnp.asarray(_RANSAC_U)
-    idx = jnp.minimum((u * n_row).astype(jnp.int32), jnp.maximum(n_row - 1, 0))
+    nn = jnp.maximum(n_row, 3)
+    i1 = jnp.minimum((u[:, 0] * nn).astype(jnp.int32), nn - 1)
+    r2 = jnp.minimum((u[:, 1] * (nn - 1)).astype(jnp.int32), nn - 2)
+    i2 = r2 + (r2 >= i1)
+    lo = jnp.minimum(i1, i2)
+    hi = jnp.maximum(i1, i2)
+    r3 = jnp.minimum((u[:, 2] * (nn - 2)).astype(jnp.int32), nn - 3)
+    i3 = r3 + (r3 >= lo)
+    i3 = i3 + (i3 >= hi)
+    idx = jnp.stack([i1, i2, i3], axis=1)  # (N_RANSAC, 3) distinct
     sub = gl.take_rows(pts, idx.reshape(-1)).reshape(_N_RANSAC, 3, 2)
 
     x, y = sub[..., 0], sub[..., 1]

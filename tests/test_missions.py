@@ -30,49 +30,61 @@ def accel_frames(n_frames=6):
 
 @pytest.mark.parametrize("mission", ["acceleration", "ebs_test"])
 def test_acceleration_like_mission(mission):
-    """Path parity on the acceleration/EBS missions.
+    """Path parity on the acceleration/EBS missions, to the 5 cm bar.
 
     The reference's relocalizer draws its RANSAC 3-subsets from the UNSEEDED
-    global NumPy RNG (acceleration_relocalization.py:32 `np.random.choice`),
-    so its own yaw estimate varies ~2.3 mrad run-to-run and its own paths
-    deviate up to ~6.3 cm between two invocations in the same process
-    (measured over seeds {None,1..4}). Parity is therefore asserted to that
-    envelope: exact translation (the origin pose, deterministic), rotation
-    within 5 mrad, and path deviation within 8 cm (2.9 mrad of yaw over the
-    ~25 m window). The pipeline downstream of the relocalizer is
-    deterministic and FITPACK-exact (see test_fitpack.py / the skidpad
-    reference-table replay, where parity is millimetric).
+    global NumPy RNG (acceleration_relocalization.py:33 `np.random.choice`),
+    so its output is a nondeterministic FAMILY: across pinned seeds its yaw
+    estimate spans ~2.7 mrad and its own paths deviate up to ~6.3 cm
+    run-to-run. The rigorous parity statement is therefore against the
+    family, not one member: replay the reference N=5 times under different
+    pinned global seeds and assert, per frame, that our path sits within
+    5 cm of the NEAREST member, and that our rotation estimate lies inside
+    the family's range. (Measured: nearest-member deviation <= 9 mm — our
+    distinct-triple static RANSAC lands on the same discrete optima the
+    reference's sampler does.) Translation is the recorded origin pose,
+    deterministic on both sides."""
+    frames = accel_frames()
+    members = []
+    for seed in (7, 11, 23, 51, 101):
+        np.random.seed(seed)  # pin the reference RANSAC's global-RNG stream
+        ref_planner = ref_pkg.PathPlanner(getattr(ref_pkg.MissionTypes, mission))
+        outs = []
+        for cones, pos, direction in frames:
+            outs.append(
+                ref_planner.calculate_path_in_global_frame(
+                    [c.copy() for c in cones], pos.copy(), direction.copy()
+                )
+            )
+        assert ref_planner.relocalization_info is not None
+        members.append((outs, ref_planner.relocalization_info))
 
-    The global-RNG draw also makes the reference's estimate depend on
-    whatever ran before in the process (suite ordering!), so the oracle's
-    RNG is pinned here — the bounds then measure OUR estimate against one
-    fixed member of the reference's output family."""
-    np.random.seed(7)  # pin the reference RANSAC's global-RNG stream
-    ref_planner = ref_pkg.PathPlanner(getattr(ref_pkg.MissionTypes, mission))
     our_planner = PathPlanner(getattr(MissionTypes, mission))
-
-    devs = []
-    for cones, pos, direction in accel_frames():
-        ref_out = ref_planner.calculate_path_in_global_frame(
-            [c.copy() for c in cones], pos.copy(), direction.copy()
-        )
-        our_out = our_planner.calculate_path_in_global_frame(cones, pos, direction)
-        assert our_out.shape == (40, 4)
-        assert np.all(np.isfinite(our_out))
-        if ref_planner.relocalization_info is not None:
-            devs.append(path_parity_deviation(ref_out, our_out))
-
-    assert ref_planner.relocalization_info is not None
+    our_outs = []
+    for cones, pos, direction in frames:
+        out = our_planner.calculate_path_in_global_frame(cones, pos, direction)
+        assert out.shape == (40, 4)
+        assert np.all(np.isfinite(out))
+        our_outs.append(out)
     assert our_planner.relocalization_info is not None
-    assert len(devs) >= 5
-    assert max(devs) < 0.08, f"max deviation {max(devs):.3f}"
 
-    ref_info = ref_planner.relocalization_info
+    for fi in range(len(frames)):
+        nearest = min(
+            path_parity_deviation(m_outs[fi], our_outs[fi])
+            for m_outs, _ in members
+        )
+        assert nearest < 0.05, f"frame {fi}: nearest-member dev {nearest:.3f}"
+
     our_info = our_planner.relocalization_info
-    # translation is the recorded origin pose — bit-deterministic
-    np.testing.assert_allclose(our_info.translation, ref_info.translation, atol=1e-5)
-    # rotation inherits the reference RANSAC's run-to-run spread
-    assert abs(our_info.rotation - ref_info.rotation) < 0.005
+    rotations = [info.rotation for _, info in members]
+    assert min(rotations) - 1e-4 <= our_info.rotation <= max(rotations) + 1e-4, (
+        f"rotation {our_info.rotation:.5f} outside family "
+        f"[{min(rotations):.5f}, {max(rotations):.5f}]"
+    )
+    # translation is the recorded origin pose — deterministic on both sides
+    np.testing.assert_allclose(
+        our_info.translation, members[0][1].translation, atol=1e-5
+    )
 
 
 def test_trackdrive_with_global_path():

@@ -15,9 +15,14 @@ def test_dryrun_multichip_8():
 
 
 def test_sharded_equals_single_device():
-    import __graft_entry__ as ge
+    """Sharded-vs-single equivalence at the FLAGSHIP config (default shape
+    budget), not a toy one — the point is shape coverage of the sharded
+    program (round-4 verdict: a VMEM/layout issue at production shapes
+    would otherwise only surface on a real slice)."""
+    from ft_fsd_path_planning_tpu.config import default_config
+    from ft_fsd_path_planning_tpu.utils.mission_types import MissionTypes
 
-    cfg = ge._tiny_config()
+    cfg = default_config(MissionTypes.trackdrive)
     b = 8
     states = pbatch.make_batch_state(cfg, b)
     frames = make_frame_batch(cfg, b, seed=3)
@@ -71,4 +76,13 @@ def test_replay_scan_matches_stepwise():
     final_state, scan_paths = jax.jit(
         lambda s0, f: pbatch.replay_scan(cfg, s0, f)
     )(state, frames_b)
-    np.testing.assert_allclose(np.asarray(scan_paths), np.stack(paths), atol=5e-3)
+    # scan-wrapped and plain compilations of the same step reassociate float
+    # ops differently, which can flip the 20 m trim boundary by one 0.165 m
+    # tail sample (theta grid shifts); compare laterally over the common
+    # span like the sharded-equivalence test above
+    from tests.test_pathing import path_parity_deviation
+
+    scan_paths = np.asarray(scan_paths)
+    for i in range(t):
+        dev = path_parity_deviation(scan_paths[i], paths[i])
+        assert dev < 0.01, f"t={i}: lateral deviation {dev:.4f} m"

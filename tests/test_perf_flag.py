@@ -90,3 +90,25 @@ def test_parity_vs_reference_with_flag_enabled():
         dev = path_parity_deviation(ref_out, our_out)
         assert dev < 0.05, f"deviation {dev:.3f}"
     assert our_planner.sort_cache_hits >= 3
+
+
+def test_cache_refreshes_on_hit_under_slow_drift():
+    """The reference rebuilds its cache entry from the fresh cones every
+    call (core_trace_sorter.py:189-196), so similarity is frame-to-frame;
+    a slow drift of 6 cm/frame (under the 0.1 m threshold per frame but
+    far beyond it cumulatively) must keep hitting."""
+    planner = PathPlanner(
+        MissionTypes.trackdrive, experimental_performance_improvements=True
+    )
+    base_cones, pos, direction = corridor_frames(n_frames=1, curv=0.0)[0]
+    n_frames = 6
+    for t in range(n_frames):
+        cones = [np.zeros((0, 2)) for _ in range(5)]
+        for ct in (ConeTypes.LEFT, ConeTypes.RIGHT):
+            cones[ct] = base_cones[ct] + t * 0.06  # diagonal drift
+        out = planner.calculate_path_in_global_frame(
+            cones, pos + t * 0.06, direction
+        )
+        assert np.all(np.isfinite(out))
+    # frame 0 misses (cold), every drifting frame after must hit
+    assert planner.sort_cache_hits == n_frames - 1, planner.sort_cache_hits

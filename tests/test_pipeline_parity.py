@@ -150,10 +150,12 @@ def test_skidpad_replay_parity():
 def test_skidpad_replay_parity_reference_table():
     """Same full replay with the reference's own hardcoded path table
     injected — isolates the pipeline from the table data: the planner must
-    be centimeter-exact (median < 5 mm), up to at most a handful of frames
-    where the windowed tracking argmin sits on an exact tie between two path
-    points and float32 breaks it differently than the reference's float64
-    (the slice shifts by one 10 cm step at a lap junction)."""
+    be centimeter-exact on EVERY frame, no exemptions. (Round 4 allowed 5
+    frames over 5 cm from windowed-tracker argmin flips; those were traced
+    to the f32 relocalization transform differing from the reference's f64
+    one by ~0.7 mm — more than the 2.5e-5 m knife-edge gaps where the
+    multi-lap path overlaps itself — and closed by the facade's f64
+    transform refinement, facade.PathPlanner._refine_reloc_f64.)"""
     from fsd_path_planning.relocalization.skidpad.skidpad_path_data import (
         BASE_SKIDPAD_PATH as REF_TABLE,
     )
@@ -174,6 +176,7 @@ def test_skidpad_replay_parity_reference_table():
         reloc_mod._reference_centers.cache_clear()
         planner_mod._initial_state_jit.cache_clear()
         facade_mod._jitted_step.cache_clear()
+        facade_mod._jitted_refine.cache_clear()
 
         our_outs = _our_skidpad_replay(data)
     finally:
@@ -183,6 +186,7 @@ def test_skidpad_replay_parity_reference_table():
         reloc_mod._reference_centers.cache_clear()
         planner_mod._initial_state_jit.cache_clear()
         facade_mod._jitted_step.cache_clear()
+        facade_mod._jitted_refine.cache_clear()
 
     deviations = np.array(
         [
@@ -192,9 +196,7 @@ def test_skidpad_replay_parity_reference_table():
         ]
     )
     assert np.median(deviations) < 0.005, f"median {np.median(deviations):.4f}"
-    assert np.percentile(deviations, 95) < 0.05, (
+    assert np.percentile(deviations, 95) < 0.01, (
         f"p95 {np.percentile(deviations, 95):.3f}"
     )
-    n_over = int(np.sum(deviations > 0.05))
-    assert n_over <= 5, f"{n_over} frames over 5 cm"
-    assert deviations.max() < 0.3, f"max {deviations.max():.3f}"
+    assert deviations.max() < 0.05, f"max {deviations.max():.3f}"
