@@ -253,7 +253,12 @@ def _replay_bench(cfg) -> dict[str, float]:
 def main() -> None:
     # persistent compilation cache: the three bench programs (batch, B=1,
     # large-map) dominate cold wall time; repeat runs skip the compiles
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    # per-backend cache subdir: sharing one directory between the
+    # TPU-attached and pure-CPU processes poisons CPU executables
+    # (machine-feature mismatch -> segfault on deserialization)
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache", jax.default_backend()
+    )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

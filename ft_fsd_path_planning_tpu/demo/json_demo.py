@@ -74,9 +74,9 @@ def main() -> None:
     # (reference json_demo.py:245-252)
     import jax
 
-    cache_dir = Path(__file__).resolve().parents[2] / ".jax_cache"
+    cache_dir = Path(__file__).resolve().parents[2] / ".jax_cache" / jax.default_backend()
     try:
-        cache_dir.mkdir(exist_ok=True)
+        cache_dir.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except OSError:

@@ -78,24 +78,27 @@ def flatten_cones_by_type(
     return pts, mask
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _jitted_step(cfg: PlannerConfig):
     """One compiled step per config (cfg is a frozen hashable pytree).
 
     A per-instance ``jax.jit(partial(...))`` would be a fresh callable every
     construction and recompile the whole pipeline for every PathPlanner —
-    ~30 s per instance on CPU."""
+    ~30 s per instance on CPU. Bounded (LRU 32): a long-lived process
+    sweeping many configs evicts and recompiles instead of leaking
+    executables; live planners keep working because they hold their own
+    reference to the jitted callable."""
     return jax.jit(partial(planner_step, cfg))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _jitted_presorted_step(cfg: PlannerConfig):
     from ft_fsd_path_planning_tpu.models.planner import planner_step_presorted
 
     return jax.jit(partial(planner_step_presorted, cfg))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _jitted_start_cones(cfg: PlannerConfig):
     """Per-side starting-cone selection only — the cheap program the sorting
     cache's similarity check needs before deciding to skip the full sort
@@ -210,20 +213,13 @@ class PathPlanner:
         # f64 relocalization refinement bookkeeping (see _refine_reloc_f64)
         self._origin64: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self._was_relocalized = False
-        self._refine_warmup: Optional[Any] = None
         if self.cfg.has_relocalizer:
-            # pre-trace + compile the f64 refinement off-thread so the
-            # relocalization frame doesn't pay the ~1 s trace/compile
-            # (jax config contexts are thread-local, so enable_x64 inside
-            # the thread doesn't leak)
-            import threading
-
-            self._refine_warmup = threading.Thread(
-                target=_warm_refine,
-                args=(self.cfg.mission.name, self.cfg.shapes.n_cones),
-                daemon=True,
-            )
-            self._refine_warmup.start()
+            # pre-trace + compile the f64 refinement NOW (construction
+            # already pays the main-program compile) so the relocalization
+            # frame only pays the ~1 ms run. Synchronous on purpose: a
+            # per-planner background thread racing XLA's own compile
+            # threads destabilized long CPU sessions.
+            _warm_refine(self.cfg.mission.name, self.cfg.shapes.n_cones)
         # sorting-result cache (experimental_performance_improvements):
         # reference ConeSortingCacheEntry, core_trace_sorter.py:100-110
         self._sort_cache: Optional[dict] = None
@@ -361,8 +357,6 @@ class PathPlanner:
         a second implementation; the refined parameters overwrite the
         carried state (the reference computes its transform in f64 once and
         freezes it, relocalization_base_class.py:70-75)."""
-        if self._refine_warmup is not None:
-            self._refine_warmup.join(timeout=60.0)
         try:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:

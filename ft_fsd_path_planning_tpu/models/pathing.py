@@ -96,12 +96,13 @@ def _shift_left(arr: Array, k: Array, fill: float = 0.0) -> Array:
 def _fit_and_densify(
     cfg: PlannerConfig, points: Array, mask: Array, smoothing: float,
     n_samples: int | None = None,
-) -> tuple[Array, Array, Array]:
-    """Spline fit + 0.1 m dense evaluation -> (dense (D,2), n_valid, ok)."""
+) -> tuple[Array, Array, Array, Array]:
+    """Spline fit + 0.1 m dense evaluation -> (dense (D,2), n_valid, ok,
+    budget_hit)."""
     d = n_samples if n_samples is not None else cfg.shapes.dense_samples
     fit = fpk.fitpack_fit(points, mask, smoothing)
     vals, _, valid = fpk.fitpack_eval_every(fit, cfg.path.predict_every, d)
-    return vals, jnp.sum(valid), fit.ok
+    return vals, jnp.sum(valid), fit.ok, fit.budget_hit
 
 
 def trivial_path(position: Array, direction: Array) -> tuple[Array, Array]:
@@ -314,7 +315,7 @@ def _parameterize_path(
     cfg: PlannerConfig, path: Array, n_valid: Array
 ) -> tuple[Array, Array]:
     """Refit with light smoothing, curvature via windowed circle fit, sample
-    the MPC horizon -> ((H, 4) [theta, x, y, curvature], ok)."""
+    the MPC horizon -> ((H, 4) [theta, x, y, curvature], ok, budget_hit)."""
     d = path.shape[0]
     horizon = cfg.path.mpc_prediction_horizon
     valid = jnp.arange(d) < n_valid
@@ -377,17 +378,29 @@ def _parameterize_path(
         ],
         axis=1,
     )
-    return out, ok
+    return out, ok, fit.budget_hit
 
 
 def parameterize_trace(cfg: PlannerConfig, points: Array, mask: Array) -> Array:
     """Parameterize an arbitrary masked trace (used for the initial path,
-    reference core_calculate_path.py:103-121)."""
+    reference core_calculate_path.py:103-121).
+
+    The internal refit reads at most 256 strided samples (p_fit in
+    _parameterize_path); run_path_calculation's post-trim input always fits,
+    but an arbitrary >256-point trace whose spacing makes skip == 1 would
+    silently drop its tail from the refit — rejected here at trace time
+    (round-4 advisor)."""
     d = cfg.shapes.dense_samples
     n = points.shape[0]
+    if n > 256:
+        raise ValueError(
+            f"parameterize_trace supports at most 256 input points (got {n}): "
+            "the refit's strided sample table holds 256 slots and skip can "
+            "be 1 for densely spaced traces; downsample the trace first"
+        )
     buf = jnp.zeros((d, 2), points.dtype).at[:n].set(points)
     n_valid = jnp.sum(mask)
-    out, _ = _parameterize_path(cfg, buf, n_valid)
+    out, _, _ = _parameterize_path(cfg, buf, n_valid)
     return out
 
 
@@ -403,6 +416,10 @@ class PathOutput(NamedTuple):
     state: PathState
     ok: Array  # () bool: False = this frame fell back to the previous path
     too_far: Array  # () bool: path overwritten for being > max dist from car
+    # any of the frame's FITPACK fits exited part 1 on the knot/iteration
+    # budget instead of fp <= s acceptance (graceful-degradation regime;
+    # advisor round 4: surface cap hits so regressions show in replay)
+    spline_budget_hit: Array  # () bool
 
 
 def run_path_calculation(
@@ -444,6 +461,7 @@ def run_path_calculation(
         dense, n_dense, _, new_index_along_path = _skidpad_path_update(
             cfg, gp, state, inp.position, inp.direction
         )
+        cl_budget = jnp.asarray(False)
     else:
         # splprep failure -> fit previous path instead (:207-223). The
         # failure condition (duplicate consecutive points / too few points)
@@ -454,7 +472,9 @@ def run_path_calculation(
         prev_m = jnp.arange(cl) < prev_xy.shape[0]
         fit_pts = jnp.where(camc_fit_ok, camc_pts, prev_pts)
         fit_mask = jnp.where(camc_fit_ok, camc_mask, prev_m)
-        dense, n_dense, _ = _fit_and_densify(cfg, fit_pts, fit_mask, cfg.path.smoothing)
+        dense, n_dense, _, cl_budget = _fit_and_densify(
+            cfg, fit_pts, fit_mask, cfg.path.smoothing
+        )
 
     # ---- overwrite if too far from the car (:225-237) -> raw previous points
     dense_valid = jnp.arange(d) < n_dense
@@ -493,7 +513,7 @@ def run_path_calculation(
 
     p5, n5, trim_ok = _trim_to_mpc_length(p4, n4, cfg.path.mpc_path_length)
 
-    out, param_ok = _parameterize_path(cfg, p5, n5)
+    out, param_ok, param_budget = _parameterize_path(cfg, p5, n5)
 
     ok = refit.ok & trim_ok & param_ok
     final = jnp.where(ok, out, state.prev_path)
@@ -502,6 +522,7 @@ def run_path_calculation(
     return PathOutput(
         path=final, centerline=camc_pts, centerline_mask=camc_mask, state=new_state,
         ok=ok, too_far=too_far,
+        spline_budget_hit=cl_budget | refit.budget_hit | param_budget,
     )
 
 
@@ -558,6 +579,8 @@ def initial_path_state(cfg: PlannerConfig) -> PathState:
     mask = jnp.arange(cl) < 40
     # the almost-straight chord is ~63 m long: use a larger one-off dense
     # budget here so the initial path spans the same length as the reference
-    dense, n_dense, _ = _fit_and_densify(cfg, pts, mask, cfg.path.smoothing, n_samples=768)
-    out, _ = _parameterize_path(cfg, dense, n_dense)
+    dense, n_dense, _, _ = _fit_and_densify(
+        cfg, pts, mask, cfg.path.smoothing, n_samples=768
+    )
+    out, _, _ = _parameterize_path(cfg, dense, n_dense)
     return PathState(prev_path=out, index_along_path=jnp.asarray(0, jnp.int32))

@@ -49,6 +49,7 @@ class StepOutput(NamedTuple):
     path_ok: Array  # () bool: False = fell back to the previous path
     path_too_far: Array  # () bool: overwrite-if-too-far guard fired
     relocalized: Array  # () bool (always False for trackdrive/autocross)
+    spline_budget_hit: Array  # () bool: a FITPACK fit hit its knot budget
     sorted_left: Array  # (L, 2)
     sorted_left_mask: Array
     sorted_right: Array
@@ -87,7 +88,7 @@ def _build_initial_state(cfg: PlannerConfig) -> PlannerState:
     )
 
 
-@functools.cache
+@functools.lru_cache(maxsize=32)
 def _initial_state_jit(cfg: PlannerConfig):
     return jax.jit(functools.partial(_build_initial_state, cfg))
 
@@ -243,6 +244,7 @@ def _planner_step_impl(
             path_ok=path_out.ok,
             path_too_far=path_out.too_far,
             relocalized=reloc.relocalized,
+            spline_budget_hit=path_out.spline_budget_hit,
             sorted_left=sorted_l,
             sorted_left_mask=sorted_l_m,
             sorted_right=sorted_r,

@@ -92,6 +92,11 @@ class FpSpline(NamedTuple):
     coef: Array  # (NC, 2) B-spline coefficients (pad rows zero)
     u_max: Array  # () chord length of the data
     ok: Array  # () bool; False mirrors the reference's splprep ValueError
+    # part 1 exited via the MAX_INT/OUTER budget instead of fp <= s
+    # acceptance — the graceful-degradation regime the knot caps bound
+    # (observable through BatchMetrics.spline_budget_hit_rate so a config
+    # change pushing real workloads into it surfaces in replay)
+    budget_hit: Array  # () bool
 
 
 # ---------------------------------------------------------------------------
@@ -633,7 +638,7 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
     n_1 = jnp.where(done0, n_i0, n_ins)
 
     def part1_body(carry):
-        (t_int, n_int, c_prev, fp_prev, nplus_prev, done, it) = carry
+        (t_int, n_int, c_prev, fp_prev, nplus_prev, done, _budget, it) = carry
         # knots for this round were inserted by the previous trip (or the
         # hoisted round 0); solve on them
         t_full = _full_knots(t_int, n_int, u_max)
@@ -643,7 +648,8 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
         newly = (jnp.abs(fpms) < acc) | (fpms < 0)
         # budget exhausted (knot cap reached / OUTER trips used): this solve
         # IS the fall-through solve on the final set — accept and exit
-        done_now = newly | (n_int >= MAX_INT) | (it >= OUTER)
+        budget_now = ~newly & ((n_int >= MAX_INT) | (it >= OUTER))
+        done_now = newly | budget_now
 
         # FITPACK nplus update (fpcurf.f:150-160)
         delta = fp_prev - fp
@@ -682,15 +688,15 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
 
         t_out = jnp.where(done_now, t_int, t_int2)
         n_out = jnp.where(done_now, n_int, n_int2)
-        return (t_out, n_out, c, fp, nplus, done_now, it + 1)
+        return (t_out, n_out, c, fp, nplus, done_now, budget_now, it + 1)
 
     def part1_cond(carry):
-        done, it = carry[5], carry[6]
+        done, it = carry[5], carry[7]
         return ~done & (it <= OUTER)
 
-    init = (t_1, n_1, c0, fp0, jnp.asarray(1, jnp.int32) + zi, done0, 1 + zi)
+    init = (t_1, n_1, c0, fp0, jnp.asarray(1, jnp.int32) + zi, done0, zb, 1 + zi)
     carry = jax.lax.while_loop(part1_cond, part1_body, init)
-    (t_int, n_int, c_lsq, fp_lsq, _, _, _) = carry
+    (t_int, n_int, c_lsq, fp_lsq, _, _, budget_hit, _) = carry
 
     # part 2 needs the design/normal equations of the final knot set (the
     # accepted LSQ solution itself is carried out of the loop)
@@ -726,7 +732,10 @@ def fitpack_fit(points: Array, mask: Array, smoothing: float | Array) -> FpSplin
     t_int = jnp.where(tiny, jnp.full((MAX_INT,), _BIG, dtype), t_int)
     n_int = jnp.where(tiny, 0, n_int)
 
-    return FpSpline(t_int=t_int, n_int=n_int, coef=coef, u_max=u_max, ok=ok)
+    return FpSpline(
+        t_int=t_int, n_int=n_int, coef=coef, u_max=u_max, ok=ok,
+        budget_hit=budget_hit & ~tiny,
+    )
 
 
 def fitpack_eval(fit: FpSpline, u: Array) -> Array:

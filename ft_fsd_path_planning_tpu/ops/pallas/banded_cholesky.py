@@ -138,11 +138,21 @@ def _identity_band(c: int, bw: int, dtype) -> jax.Array:
 
 
 def dense_to_band(a: jax.Array) -> jax.Array:
-    """(…, C, C) SPD banded matrix -> (…, C, BW) band storage."""
+    """(…, C, C) SPD banded matrix -> (…, C, BW) band storage.
+
+    band[..., i, d] = a[..., i, i - HALF_BW + d], zero outside — built from
+    the BW diagonals instead of an advanced-index gather (the gather lowered
+    to per-lane dynamic slices on TPU, ~0.2 ms/step at batch 256)."""
     c = a.shape[-1]
-    i = jnp.arange(c)[:, None]
-    d = jnp.arange(BW)[None, :]
-    j = i - HALF_BW + d
-    valid = (j >= 0) & (j < c)
-    jc = jnp.clip(j, 0, c - 1)
-    return jnp.where(valid, a[..., i, jc], 0.0)
+    lead = a.shape[:-2]
+    cols = []
+    for d in range(BW):
+        off = d - HALF_BW
+        diag = jnp.diagonal(a, offset=off, axis1=-2, axis2=-1)
+        pad = jnp.zeros(lead + (abs(off),), a.dtype)
+        if off >= 0:
+            col = jnp.concatenate([diag, pad], axis=-1)  # a[i, i+off], i < c-off
+        else:
+            col = jnp.concatenate([pad, diag], axis=-1)  # valid for i >= -off
+        cols.append(col)
+    return jnp.stack(cols, axis=-1)

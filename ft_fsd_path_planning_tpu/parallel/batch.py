@@ -74,6 +74,9 @@ class BatchMetrics(NamedTuple):
     too_far_rate: Array
     # fraction of relocalized frames (skidpad/accel missions)
     relocalized_rate: Array
+    # fraction of frames where a FITPACK fit exited on its knot/iteration
+    # budget instead of acceptance (should be ~0 on real workloads)
+    spline_budget_hit_rate: Array
 
 
 def _point_to_polyline_dist(a: Array, ref_xy: Array) -> Array:
@@ -145,6 +148,7 @@ def sharded_batched_step(cfg: PlannerConfig, mesh: Mesh, axis: str = "data"):
             solve_success_rate=psum_mean(outs.path_ok),
             too_far_rate=psum_mean(outs.path_too_far),
             relocalized_rate=psum_mean(outs.relocalized),
+            spline_budget_hit_rate=psum_mean(outs.spline_budget_hit),
         )
         return outs, new_states, metrics
 

@@ -21,7 +21,10 @@ jax.config.update("jax_enable_x64", False)
 
 # persistent compilation cache: planner-step compiles dominate suite time;
 # warm re-runs skip them entirely (the dir is gitignored, machine-local)
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# per-backend subdirectory: executables written by the TPU-attached
+# processes (whose CPU client compiles with different machine-feature
+# flags) segfault on deserialization here if the directories are shared
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache", "cpu")
 os.makedirs(_CACHE_DIR, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

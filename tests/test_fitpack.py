@@ -75,6 +75,7 @@ def test_smooth_curves(s):
         _check(np.stack([x, y], 1), s, m=256)
 
 
+@pytest.mark.slow
 def test_noisy_centerlines():
     """Matches-centerline shaped input (s=0.2, sparse, noisy)."""
     rng = np.random.default_rng(2)

@@ -115,6 +115,7 @@ def _our_skidpad_replay(data):
     return outs
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not SKIDPAD_JSON.exists(), reason="skidpad replay log missing")
 def test_skidpad_replay_parity():
     """Full 341-frame recorded-session replay (both loop transitions and the
@@ -146,6 +147,7 @@ def test_skidpad_replay_parity():
     assert deviations.max() < 0.3, f"max {deviations.max():.3f}"
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not SKIDPAD_JSON.exists(), reason="skidpad replay log missing")
 def test_skidpad_replay_parity_reference_table():
     """Same full replay with the reference's own hardcoded path table
