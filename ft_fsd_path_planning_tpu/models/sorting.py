@@ -42,14 +42,16 @@ def _use_fused_beam() -> bool:
     """Opt-in switch for the fused Pallas search kernel
     (ops/pallas/beam_search.py, FT_FSD_FUSED_BEAM=1).
 
-    Measured on the attached v5e: the kernel produces bit-identical outputs
-    to the XLA scan at the same runtime (18.4 vs 17.9 ms for the batch-256
-    sorting stage) — the search is bound by its vector-op count, which the
-    lane-batched kernel reproduces rather than reduces, while compiling 10x
-    slower (Mosaic unrolls the whole loop). The XLA scan therefore stays the
-    default; the kernel remains exercised by exact-equivalence tests as the
-    foundation for a future layout-level rework (MXU expansion, flat K*C
-    sublane packing)."""
+    Measured on the attached v5e (round 3): the kernel produces bit-identical
+    outputs to the XLA scan at the same runtime (18.4 vs 17.9 ms for the
+    batch-256 sorting stage) — the search is bound by its vector-op count,
+    which the lane-batched kernel reproduces rather than reduces, while
+    compiling 10x slower (Mosaic unrolls the whole loop). Re-measured in
+    round 5 after the op-stream thinning (flat lanes, argmin-extract,
+    select-scatter): the XLA scan pulled decisively ahead — full batch-256
+    step 10.3 ms vs 20.7 ms with the kernel enabled — so the scan stays the
+    default; the kernel remains exercised by exact-equivalence tests as a
+    record of the layout-level alternative."""
     return os.environ.get("FT_FSD_FUSED_BEAM", "") == "1" and (
         jax.default_backend() != "cpu"
     )
